@@ -15,6 +15,10 @@ os.environ["XLA_FLAGS"] = (
 ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 import pathlib
 import subprocess
 import sys
