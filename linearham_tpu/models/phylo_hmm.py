@@ -1,0 +1,250 @@
+"""PhyloHMM: V(D)J HMM with phylogenetic-tree emission probabilities.
+
+Emissions are per-site Felsenstein likelihoods over the xMSA conditional on
+the hidden naive base (divided by the naive base's stationary probability,
+since the HMM supplies the naive prior; reference: src/PhyloHMM.cpp:220-238).
+The whole posterior tree ensemble runs as one batched jitted computation:
+GTR eigendecomposition, pruning, emission gathers, forward, and FFBS are
+all vmapped/batched over trees.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linearham_tpu.compiler.compiled import CompiledFamily, compile_family
+from linearham_tpu.compiler.state_space import build_state_space
+from linearham_tpu.compiler.xmsa import Xmsa, build_xmsa, segment_matrix
+from linearham_tpu.io.germline import load_gene_map
+from linearham_tpu.io.newick import TreeBatch, batch_trees, parse_newick
+from linearham_tpu.io.partis import ClusterData, load_cluster
+from linearham_tpu.models.decode import Annotation, decode_path
+from linearham_tpu.ops.ffbs import SampledPath, sample_path
+from linearham_tpu.ops.forward import forward
+from linearham_tpu.ops.gtr import gamma_category_rates, gtr_eigen
+from linearham_tpu.ops.pruning import site_log_likelihoods
+
+NEG_INF = -np.inf
+
+
+def _gather_consts(space, xmsa: Xmsa, dtype):
+    """Device constants for turning site log-liks into region emissions."""
+    consts = {}
+
+    def linear(name, region, inds):
+        consts[name] = {
+            "inds": jnp.asarray(inds, jnp.int32),
+            "seg": jnp.asarray(
+                segment_matrix(inds, region.ggene_ranges,
+                               len(region.ggene_ranges)), dtype),
+        }
+
+    linear("vpadding", space.vpadding, xmsa.inds.vpadding)
+    linear("vgerm", space.vgerm, xmsa.inds.vgerm)
+    consts["vd_junction"] = {
+        "inds": jnp.asarray(np.maximum(xmsa.inds.vd_junction, 0), jnp.int32),
+        "mask": jnp.asarray(xmsa.inds.vd_junction >= 0),
+    }
+    if space.is_heavy:
+        linear("dgerm", space.dgerm, xmsa.inds.dgerm)
+        consts["dj_junction"] = {
+            "inds": jnp.asarray(
+                np.maximum(xmsa.inds.dj_junction, 0), jnp.int32),
+            "mask": jnp.asarray(xmsa.inds.dj_junction >= 0),
+        }
+    linear("jgerm", space.jgerm, xmsa.inds.jgerm)
+    linear("jpadding", space.jpadding, xmsa.inds.jpadding)
+    return consts
+
+
+def region_emissions(site_loglik: jnp.ndarray, consts: dict,
+                     heavy: bool) -> Dict[str, jnp.ndarray]:
+    """Gather per-site log-likelihoods [T, X] into region emissions."""
+    emis = {}
+
+    def linear(name):
+        c = consts[name]
+        emis[name] = site_loglik[:, c["inds"]] @ c["seg"]
+
+    def junction(name):
+        c = consts[name]
+        vals = site_loglik[:, c["inds"]]          # [T, rows, S]
+        emis[name] = jnp.where(c["mask"][None], vals, -jnp.inf)
+
+    linear("vpadding")
+    linear("vgerm")
+    junction("vd_junction")
+    if heavy:
+        linear("dgerm")
+        junction("dj_junction")
+    linear("jgerm")
+    linear("jpadding")
+    return emis
+
+
+def phylo_step(
+    trans: Dict[str, jnp.ndarray],
+    consts: dict,
+    xmsa_rows: jnp.ndarray,      # [n_rows, X] int codes (naive row 0)
+    naive_bases: jnp.ndarray,    # [X]
+    tree: dict,                  # batched TreeBatch arrays as jnp
+    eig,                         # GTREigen with [T, ...] leading axis
+    pi: jnp.ndarray,             # [T, 4]
+    rates: jnp.ndarray,          # [T, R]
+    key: Optional[jnp.ndarray],
+    heavy: bool,
+    n_slots: int,
+):
+    """One fused pipeline step over a tree batch.
+
+    Returns (loglik [T], xmsa emission [T, X], sampled path or None).
+    """
+
+    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild, eparent,
+                 elen, root):
+        tips = xmsa_rows[perm]                    # [n_tips, X]
+        return site_log_likelihoods(
+            eig_t, pi_t, rates_t, tips, tparent, tlen,
+            echild, eparent, elen, root, n_slots,
+        )
+
+    site_ll = jax.vmap(per_tree)(
+        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
+        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
+        tree["edge_length"], tree["root_slot"],
+    )                                             # [T, X]
+
+    # Divide out the naive prior at unambiguous naive sites.
+    naive_log_pi = jnp.log(
+        jnp.take_along_axis(
+            pi, jnp.minimum(naive_bases, 3)[None, :].astype(jnp.int32)
+            * jnp.ones((pi.shape[0], 1), jnp.int32), axis=1)
+    )
+    site_ll_corr = site_ll - jnp.where(naive_bases[None, :] < 4,
+                                       naive_log_pi, 0.0)
+
+    emis = region_emissions(site_ll_corr, consts, heavy)
+    loglik, cache = forward(trans, emis, heavy)
+    path = sample_path(key, trans, cache, heavy) if key is not None else None
+    return loglik, jnp.exp(site_ll_corr), path
+
+
+@dataclass
+class PhyloParams:
+    er: List[float]
+    pi: List[float]
+    alpha: float
+    num_rates: int
+    rates: np.ndarray
+
+
+class PhyloHMM:
+    """Phylo-HMM over one clonal family."""
+
+    def __init__(self, yaml_path: str, cluster_ind: int,
+                 hmm_param_dir: str, seed: int = 0, dtype=jnp.float64):
+        self.cluster: ClusterData = load_cluster(yaml_path, cluster_ind)
+        self.genes = load_gene_map(hmm_param_dir)
+        self.space = build_state_space(
+            self.cluster.locus, self.cluster.flexbounds,
+            self.cluster.relpos, self.genes,
+        )
+        self.family: CompiledFamily = compile_family(self.space, self.genes)
+        self.msa = self.cluster.msa_codes(self.space.alphabet)
+        self.xmsa: Xmsa = build_xmsa(
+            self.space, self.msa, self.cluster.unique_ids)
+        self._dtype = dtype
+        self._key = jax.random.PRNGKey(seed)
+
+        self._trans = self.family.device_transitions(dtype)
+        self._consts = _gather_consts(self.space, self.xmsa, dtype)
+        self._xmsa_rows = jnp.asarray(self.xmsa.matrix, jnp.int32)
+        self._naive_bases = jnp.asarray(self.xmsa.naive_bases, jnp.int32)
+
+        self.params: Optional[PhyloParams] = None
+        self._tree_batch: Optional[TreeBatch] = None
+        self._loglik = None
+        self._cache = None
+        self._xmsa_emission = None
+
+    # -- single-tree API (mirrors the reference CLI subcommands) ----------
+
+    def init_phylo_parameters(self, newick_path: str, er: Sequence[float],
+                              pi: Sequence[float], alpha: float,
+                              num_rates: int) -> None:
+        with open(newick_path) as fh:
+            text = fh.read()
+        tree = parse_newick(text)
+        self._tree_batch = batch_trees([tree], self.xmsa.labels)
+        self.params = PhyloParams(
+            er=list(er), pi=list(pi), alpha=float(alpha),
+            num_rates=num_rates,
+            rates=gamma_category_rates(float(alpha), num_rates),
+        )
+        self._loglik = None
+
+    def init_phylo_emission(self) -> None:
+        self._run(sample_key=None)
+
+    def _device_tree(self, tb: TreeBatch) -> dict:
+        return {
+            "tip_perm": jnp.asarray(tb.tip_perm),
+            "tip_parent": jnp.asarray(tb.tip_parent),
+            "tip_length": jnp.asarray(tb.tip_length, self._dtype),
+            "edge_child": jnp.asarray(tb.edge_child),
+            "edge_parent": jnp.asarray(tb.edge_parent),
+            "edge_length": jnp.asarray(tb.edge_length, self._dtype),
+            "root_slot": jnp.asarray(tb.root_slot),
+        }
+
+    def _run(self, sample_key):
+        p = self.params
+        tb = self._tree_batch
+        T = tb.n_trees
+        pi = jnp.asarray([p.pi] * T, self._dtype)
+        rates = jnp.asarray([p.rates] * T, self._dtype)
+        eig = gtr_eigen([p.er] * T, [p.pi] * T)
+
+        loglik, xmsa_emission, path = jax.jit(
+            phylo_step, static_argnames=("heavy", "n_slots")
+        )(
+            self._trans, self._consts, self._xmsa_rows, self._naive_bases,
+            self._device_tree(tb), eig, pi, rates, sample_key,
+            heavy=self.space.is_heavy, n_slots=tb.n_slots,
+        )
+        self._loglik = np.asarray(loglik)
+        self._xmsa_emission = np.asarray(xmsa_emission)
+        return path
+
+    def log_likelihood(self) -> float:
+        if self._loglik is None:
+            self._run(sample_key=None)
+        return float(self._loglik[0])
+
+    @property
+    def xmsa_emission(self) -> np.ndarray:
+        if self._xmsa_emission is None:
+            self._run(sample_key=None)
+        return self._xmsa_emission[0]
+
+    def sample_naive_sequence(self) -> Annotation:
+        self._key, subkey = jax.random.split(self._key)
+        path = self._run(sample_key=subkey)
+        return self._decode(path, 0)
+
+    def _decode(self, path: SampledPath, t: int) -> Annotation:
+        heavy = self.space.is_heavy
+        return decode_path(
+            self.space,
+            vgerm_idx=int(path.vgerm_idx[t]),
+            vd_idx=np.asarray(path.vd_idx[t]),
+            dgerm_idx=int(path.dgerm_idx[t]) if heavy else None,
+            dj_idx=np.asarray(path.dj_idx[t]) if heavy else None,
+            jgerm_idx=int(path.jgerm_idx[t]),
+            n_sites=self.cluster.n_sites,
+        )

@@ -8,16 +8,22 @@ driver's compile checks instead.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax
 
+# The container's sitecustomize registers the TPU ('axon') backend in every
+# interpreter and overrides JAX_PLATFORMS; initializing it dials the TPU
+# tunnel and can block for minutes.  Tests are CPU-only by design, so pin
+# the platform list before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# CPU compiles of the fused phylo step take minutes; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/linearham_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pathlib
 import subprocess
