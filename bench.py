@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Headline benchmark: posterior-tree pipeline steps per second per chip.
+
+Measures the fully fused device step (Felsenstein pruning over the xMSA x 4
+gamma rates + HMM forward + FFBS path sampling) on a synthetic ~370-site
+igh clonal family with a RevBayes-style posterior ensemble, batched over
+trees.  The reference processes trees one at a time through libpll + Eigen
+(src/PhyloHMM.cpp:393-446); the BASELINE.md target is >=1000 trees/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_TREES_PER_SEC = 1000.0
+
+
+def main() -> int:
+    n_trees = int(os.environ.get("BENCH_TREES", "1024"))
+    n_seqs = int(os.environ.get("BENCH_SEQS", "10"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from linearham_tpu.models.phylo_hmm import PhyloHMM, phylo_step
+    from linearham_tpu.pipeline.run import prepare_ensemble
+    from linearham_tpu.utils.synth import make_family, make_tree_samples
+
+    dtype = jnp.float32
+    fam = make_family(n_seqs=n_seqs, seed=0)
+    hmm = PhyloHMM.from_parts(
+        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
+        fam.unique_ids, fam.n_sites, seed=0, dtype=dtype,
+    )
+    samples = make_tree_samples(fam, n_trees, seed=0)
+
+    t0 = time.perf_counter()
+    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 4)
+    host_prep_s = time.perf_counter() - t0
+
+    def to_dev(a):
+        import numpy as np
+        a = np.asarray(a)
+        return jnp.asarray(a, dtype) if np.issubdtype(a.dtype, np.floating) \
+            else jnp.asarray(a)
+
+    tree_dev = {k: to_dev(v) for k, v in tree_arrays.items()}
+    eig_dev = jax.tree.map(to_dev, eig)
+    pi_dev, rates_dev = to_dev(samples.pi), to_dev(rates)
+
+    step = jax.jit(phylo_step, static_argnames=("heavy", "n_slots"))
+    key = jax.random.PRNGKey(0)
+
+    def run(k):
+        loglik, _, path = step(
+            hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
+            tree_dev, eig_dev, pi_dev, rates_dev, k,
+            heavy=True, n_slots=n_slots,
+        )
+        return loglik, path
+
+    t0 = time.perf_counter()
+    loglik, _ = run(key)
+    loglik.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(reps):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        loglik, path = run(sub)
+        jax.block_until_ready((loglik, path))
+        times.append(time.perf_counter() - t0)
+
+    times.sort()
+    best = times[len(times) // 2]   # median: remote-tunnel timing is noisy
+    trees_per_sec = n_trees / best
+    result = {
+        "metric": "posterior_tree_pipeline_steps_per_sec_per_chip",
+        "value": round(trees_per_sec, 1),
+        "unit": "trees/s",
+        "vs_baseline": round(trees_per_sec / BASELINE_TREES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# n_trees={n_trees} n_seqs={n_seqs} sites={fam.n_sites} "
+        f"xmsa_cols={hmm.xmsa.n_cols} median={best * 1e3:.2f}ms "
+        f"times_ms={[round(t * 1e3, 2) for t in times]} "
+        f"compile={compile_s:.1f}s host_prep={host_prep_s:.2f}s "
+        f"device={jax.devices()[0].device_kind} "
+        f"mean_loglik={float(loglik.mean()):.2f}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

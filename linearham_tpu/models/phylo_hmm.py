@@ -148,16 +148,38 @@ class PhyloHMM:
 
     def __init__(self, yaml_path: str, cluster_ind: int,
                  hmm_param_dir: str, seed: int = 0, dtype=jnp.float64):
-        self.cluster: ClusterData = load_cluster(yaml_path, cluster_ind)
-        self.genes = load_gene_map(hmm_param_dir)
+        cluster = load_cluster(yaml_path, cluster_ind)
+        genes = load_gene_map(hmm_param_dir)
+        self._setup(cluster, genes,
+                    cluster.msa_codes(
+                        next(iter(genes.values())).alphabet + "N"),
+                    seed, dtype)
+
+    @classmethod
+    def from_parts(cls, locus, flexbounds, relpos, genes, msa, unique_ids,
+                   n_sites, seed: int = 0, dtype=jnp.float64) -> "PhyloHMM":
+        """Build directly from in-memory data (synthetic families, tests)."""
+        self = cls.__new__(cls)
+        cluster = ClusterData(
+            locus=locus, unique_ids=list(unique_ids),
+            naive_seq="N" * n_sites,
+            seqs=[], flexbounds=dict(flexbounds), relpos=dict(relpos),
+            raw_event={},
+        )
+        self._setup(cluster, genes, msa, seed, dtype)
+        return self
+
+    def _setup(self, cluster: ClusterData, genes, msa: np.ndarray,
+               seed: int, dtype) -> None:
+        self.cluster = cluster
+        self.genes = genes
         self.space = build_state_space(
-            self.cluster.locus, self.cluster.flexbounds,
-            self.cluster.relpos, self.genes,
+            cluster.locus, cluster.flexbounds, cluster.relpos, genes,
         )
         self.family: CompiledFamily = compile_family(self.space, self.genes)
-        self.msa = self.cluster.msa_codes(self.space.alphabet)
+        self.msa = msa
         self.xmsa: Xmsa = build_xmsa(
-            self.space, self.msa, self.cluster.unique_ids)
+            self.space, self.msa, cluster.unique_ids)
         self._dtype = dtype
         self._key = jax.random.PRNGKey(seed)
 

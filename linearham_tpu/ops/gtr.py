@@ -76,8 +76,10 @@ def gtr_eigen(er, pi) -> GTREigen:
     lam, v = np.linalg.eigh(sym)
     u = v / sqrt_pi[..., :, None]
     u_inv = np.swapaxes(v, -1, -2) * sqrt_pi[..., None, :]
-    return GTREigen(u=jnp.asarray(u), u_inv=jnp.asarray(u_inv),
-                    lam=jnp.asarray(lam))
+    # Host (numpy) outputs on purpose: keeping these off-device avoids
+    # per-array transfers through remote-device tunnels; callers push them
+    # to the device in one bulk transfer with the rest of the batch.
+    return GTREigen(u=u, u_inv=u_inv, lam=lam)
 
 
 def transition_matrices(eig: GTREigen, t: jnp.ndarray) -> jnp.ndarray:

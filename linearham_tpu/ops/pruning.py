@@ -5,15 +5,25 @@ GTR+Gamma, vectorized over sites and rate categories and vmapped over the
 posterior tree batch.  This replaces libpll's TraversalUpdate/LogLikelihood
 (reference boundary: src/PhyloHMM.cpp:220-238).
 
-Encoding (see io.newick.TreeBatch): every tip has exactly one parent edge,
-so tip contributions are a single batched gather + segment-product; the
-remaining internal edges are walked with lax.scan in post-order, each step
-one [X, 4] x [4, 4] contraction per rate, with per-site renormalization
-feeding an explicit log-scale accumulator (no 2^256 tricks).
+TPU-native layout: partials are states-major [slots, R, 4, X] so the long
+site axis sits in the lane dimension (a trailing axis of 4 would pad
+4 -> 128 and waste 32x memory/bandwidth).  Transition matrices are never
+materialized per edge: each message is propagated through the GTR
+eigenbasis as three [4, X] contractions,
 
-Ambiguity: tip code >= 4 (N) means an all-ones partial, i.e. the gap
-semantics the reference uses (treatAmbiguousAsGap; note rows of P(t) sum
-to 1 so an N-tip contributes exactly 1).
+    msg = U @ (exp(lam * t * r) * (Uinv @ partial)),
+
+which keeps the MXU busy with [4, X] matmuls and stores only the per-edge
+eigenvalue scalings.
+
+Encoding (see io.newick.TreeBatch): every tip has exactly one parent edge,
+so tip contributions are one batched einsum + segment-product; the
+remaining internal edges are walked with lax.scan in post-order with
+per-site renormalization feeding an explicit log-scale accumulator.
+
+Ambiguity: tip code >= 4 (N) means an all-ones partial (gap semantics, as
+the reference's treatAmbiguousAsGap; rows of P(t) sum to 1 so an N tip
+contributes exactly 1).
 """
 
 from __future__ import annotations
@@ -23,25 +33,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from linearham_tpu.ops.gtr import GTREigen, transition_matrices
+_HI = jax.lax.Precision.HIGHEST
 
-
-def _tip_contrib(P: jnp.ndarray, states: jnp.ndarray) -> jnp.ndarray:
-    """Per-tip partial-product contribution at its parent.
-
-    P: [n_tips, R, 4, 4]; states: [n_tips, X] codes with 4 == ambiguous.
-    Returns [n_tips, R, X, 4]: column `states[x]` of P, or ones for N.
-    """
-    clamped = jnp.minimum(states, 3)
-    cols = jnp.take_along_axis(
-        P[:, :, None, :, :],                        # [tips, R, 1, 4i, 4j]
-        clamped[:, None, :, None, None].astype(jnp.int32), axis=-1,
-    )[..., 0]                                       # [tips, R, X, 4i]
-    return jnp.where((states < 4)[:, None, :, None], cols, 1.0)
+from linearham_tpu.ops.gtr import GTREigen
 
 
 def site_log_likelihoods(
-    eig: GTREigen,
+    eig: GTREigen,            # u/u_inv [4,4], lam [4] for this tree
     pi: jnp.ndarray,          # [4]
     rates: jnp.ndarray,       # [R]
     tip_states: jnp.ndarray,  # [n_tips, X] xMSA codes permuted to tip slots
@@ -58,37 +56,60 @@ def site_log_likelihoods(
     X = tip_states.shape[1]
     dtype = eig.u.dtype
 
-    # --- tips: one gather + segment-product ------------------------------
-    P_tip = transition_matrices(eig, tip_length[:, None] * rates[None, :])
-    contrib = _tip_contrib(P_tip, tip_states)       # [tips, R, X, 4]
-    partials = jax.ops.segment_prod(
-        contrib, tip_parent, num_segments=n_slots)   # [slots, R, X, 4]
-    # Sink/untouched slots must be 1, and segment_prod fills empties with 1.
+    # One-hot tip partials with all-ones rows for ambiguous bases, laid out
+    # [n_tips, 4, X].
+    codes = jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1)
+    onehot = jnp.where(
+        (tip_states[:, None, :] == codes) | (tip_states[:, None, :] >= 4),
+        jnp.ones((), dtype), jnp.zeros((), dtype))
 
-    norm = jnp.max(partials, axis=-1, keepdims=True)
+    # --- tips: propagate all tip messages in one shot --------------------
+    expd_tip = jnp.exp(
+        eig.lam[None, None, :]
+        * (tip_length[:, None] * rates[None, :])[..., None]
+    )                                                  # [tips, R, 4]
+    w = jnp.einsum("ij,tjx->tix", eig.u_inv, onehot,
+                   precision=_HI)                      # [tips, 4, X]
+    w = w[:, None, :, :] * expd_tip[..., None]         # [tips, R, 4, X]
+    msg = jnp.einsum("ij,trjx->trix", eig.u, w, precision=_HI)
+    # Low-precision cancellation in the eigenbasis could go (slightly)
+    # negative; true propagated partials are nonnegative.
+    msg = jnp.maximum(msg, 0.0)
+    partials = jax.ops.segment_prod(
+        msg, tip_parent, num_segments=n_slots)         # [slots, R, 4, X]
+
+    norm = jnp.max(partials, axis=-2, keepdims=True)
     norm = jnp.where(norm > 0, norm, 1.0)
     partials = partials / norm
-    scale = jnp.sum(jnp.log(norm[..., 0]), axis=0)   # [R, X]
+    scale = jnp.sum(jnp.log(norm[:, :, 0, :]), axis=0)  # [R, X]
 
     # --- internal edges: post-order scan ---------------------------------
-    P_edge = transition_matrices(eig, edge_length[:, None] * rates[None, :])
+    expd_edge = jnp.exp(
+        eig.lam[None, None, :]
+        * (edge_length[:, None] * rates[None, :])[..., None]
+    )                                                  # [E, R, 4]
 
     def step(carry, inp):
         partials, scale = carry
-        child, parent, P = inp                       # P: [R, 4, 4]
-        msg = jnp.einsum("rxj,rij->rxi", partials[child], P)
+        child, parent, expd = inp                      # expd: [R, 4]
+        w = jnp.einsum("ij,rjx->rix", eig.u_inv, partials[child],
+                       precision=_HI)
+        w = w * expd[..., None]
+        msg = jnp.maximum(
+            jnp.einsum("ij,rjx->rix", eig.u, w, precision=_HI), 0.0)
         upd = partials[parent] * msg
-        m = jnp.max(upd, axis=-1, keepdims=True)
+        m = jnp.max(upd, axis=-2, keepdims=True)
         m = jnp.where(m > 0, m, 1.0)
         partials = partials.at[parent].set(upd / m)
-        scale = scale + jnp.log(m[..., 0])
+        scale = scale + jnp.log(m[:, 0, :])
         return (partials, scale), None
 
     (partials, scale), _ = jax.lax.scan(
-        step, (partials, scale), (edge_child, edge_parent, P_edge)
+        step, (partials, scale), (edge_child, edge_parent, expd_edge)
     )
 
-    root = partials[root_slot]                       # [R, X, 4]
-    per_rate = jnp.log(jnp.einsum("rxi,i->rx", root, pi)) + scale
+    root = partials[root_slot]                         # [R, 4, X]
+    per_rate = jnp.log(
+        jnp.einsum("i,rix->rx", pi, root, precision=_HI)) + scale
     return jax.scipy.special.logsumexp(per_rate, axis=0) - jnp.log(
         jnp.asarray(R, dtype))

@@ -1,0 +1,186 @@
+"""The batched posterior-ensemble pipeline.
+
+The reference walks the RevBayes TSV one tree at a time, rebuilding a libpll
+partition per row (src/PhyloHMM.cpp:393-446).  Here the whole ensemble is
+parsed up front, padded into fixed-shape chunks, and each chunk runs as ONE
+jitted device computation (pruning + forward + FFBS for every tree at
+once); annotations are decoded host-side and streamed to the output TSV.
+
+Output columns match the reference contract exactly
+(src/PhyloHMM.cpp:244-327).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import List, Optional, TextIO
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linearham_tpu.io.newick import batch_trees, parse_newick
+from linearham_tpu.io.trees_tsv import TreeSamples, load_tree_samples
+from linearham_tpu.models.decode import Annotation
+from linearham_tpu.models.phylo_hmm import PhyloHMM, phylo_step
+from linearham_tpu.ops.gtr import gamma_category_rates, gtr_eigen
+
+_COMMENT_RE = re.compile(r"\[[^\]]*\]")
+
+
+@dataclass
+class PipelineResult:
+    """Per-sample pipeline outputs for one clonal family."""
+
+    samples: TreeSamples
+    rates: np.ndarray            # [T, R]
+    lh_loglik: np.ndarray        # [T]
+    logweight: np.ndarray        # [T]
+    annotations: List[Annotation]
+
+
+def _chunk_pad(arrs, start, size, total):
+    """Slice [start:start+size], padding past-the-end with the last row."""
+    idx = np.minimum(np.arange(start, start + size), total - 1)
+    return [a[idx] for a in arrs]
+
+
+def prepare_ensemble(hmm: PhyloHMM, samples: TreeSamples, num_rates: int):
+    """Host-side ensemble prep: parse/batch trees, gamma rates, GTR eigen.
+
+    Returns (tree_arrays dict, eig (numpy GTREigen), rates [T,R], n_slots).
+    """
+    trees = [parse_newick(nw) for nw in samples.newicks]
+    tb = batch_trees(trees, hmm.xmsa.labels)
+    rates = np.stack([
+        gamma_category_rates(a, num_rates) for a in samples.alpha
+    ])
+    tree_arrays = {
+        "tip_perm": tb.tip_perm,
+        "tip_parent": tb.tip_parent,
+        "tip_length": tb.tip_length.astype(np.float64),
+        "edge_child": tb.edge_child,
+        "edge_parent": tb.edge_parent,
+        "edge_length": tb.edge_length.astype(np.float64),
+        "root_slot": tb.root_slot,
+    }
+    eig = gtr_eigen(samples.er, samples.pi)  # host numpy factors
+    return tree_arrays, eig, rates, tb.n_slots
+
+
+def run_pipeline_arrays(
+    hmm: PhyloHMM,
+    samples: TreeSamples,
+    num_rates: int,
+    seed: int = 0,
+    chunk_size: int = 256,
+) -> PipelineResult:
+    """Run the full ensemble through the fused device step."""
+    T = samples.n_samples
+    chunk_size = min(chunk_size, T)
+
+    dtype = hmm._dtype
+    dev_tree_full, eig_full, rates, n_slots = prepare_ensemble(
+        hmm, samples, num_rates)
+
+    step = jax.jit(phylo_step, static_argnames=("heavy", "n_slots"))
+    key = jax.random.PRNGKey(seed)
+
+    logliks = np.zeros(T)
+    paths = []
+    for start in range(0, T, chunk_size):
+        key, subkey = jax.random.split(key)
+        tree_c = {
+            k: jnp.asarray(_chunk_pad([v], start, chunk_size, T)[0])
+            for k, v in dev_tree_full.items()
+        }
+        eig_c = jax.tree.map(
+            lambda a: jnp.asarray(
+                _chunk_pad([np.asarray(a)], start, chunk_size, T)[0], dtype),
+            eig_full,
+        )
+        pi_c, rates_c = (
+            jnp.asarray(x, dtype) for x in
+            _chunk_pad([samples.pi, rates], start, chunk_size, T)
+        )
+        loglik_c, _, path_c = step(
+            hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
+            tree_c, eig_c, pi_c, rates_c, subkey,
+            heavy=hmm.space.is_heavy, n_slots=n_slots,
+        )
+        n_valid = min(chunk_size, T - start)
+        logliks[start:start + n_valid] = np.asarray(loglik_c)[:n_valid]
+        path_np = jax.tree.map(np.asarray, path_c)
+        for t in range(n_valid):
+            paths.append(hmm._decode(path_np, t))
+
+    return PipelineResult(
+        samples=samples,
+        rates=rates,
+        lh_loglik=logliks,
+        logweight=logliks - samples.rb_loglik,
+        annotations=paths,
+    )
+
+
+def write_output_tsv(result: PipelineResult, heavy: bool,
+                     outfile: TextIO) -> None:
+    """Write the reference-format pipeline TSV."""
+    num_rates = result.rates.shape[1]
+    cols = (
+        ["Iteration", "RBLogLikelihood", "Prior", "alpha"]
+        + [f"er[{i}]" for i in range(1, 7)]
+        + [f"pi[{i}]" for i in range(1, 5)]
+        + ["tree"]
+        + [f"sr[{i}]" for i in range(1, num_rates + 1)]
+        + ["LHLogLikelihood", "LogWeight", "NaiveSequence",
+           "VGene", "V5pDel", "V3pDel", "VFwkInsertion"]
+    )
+    if heavy:
+        cols += ["VDInsertion", "DGene", "D5pDel", "D3pDel", "DJInsertion"]
+    else:
+        cols += ["VJInsertion"]
+    cols += ["JGene", "J5pDel", "J3pDel", "JFwkInsertion"]
+    outfile.write("\t".join(cols) + "\n")
+
+    s = result.samples
+    for t in range(s.n_samples):
+        ann = result.annotations[t]
+        row = (
+            [s.iteration[t], s.rb_loglik[t], s.prior[t], s.alpha[t]]
+            + list(s.er[t]) + list(s.pi[t])
+            + [_COMMENT_RE.sub("", s.newicks[t])]
+            + list(result.rates[t])
+            + [result.lh_loglik[t], result.logweight[t], ann.naive_seq,
+               ann.vgerm_state, ann.v_5p_del, ann.v_3p_del,
+               ann.v_fwk_insertion]
+        )
+        if heavy:
+            row += [ann.vd_insertion, ann.dgerm_state, ann.d_5p_del,
+                    ann.d_3p_del, ann.dj_insertion]
+        else:
+            row += [ann.vd_insertion]
+        row += [ann.jgerm_state, ann.j_5p_del, ann.j_3p_del,
+                ann.j_fwk_insertion]
+        outfile.write("\t".join(str(v) for v in row) + "\n")
+
+
+def run_pipeline(
+    yaml_path: str,
+    cluster_ind: int,
+    hmm_param_dir: str,
+    input_path: str,
+    output_path: str,
+    num_rates: int,
+    seed: int = 0,
+    chunk_size: int = 256,
+) -> PipelineResult:
+    """End-to-end: partis YAML + RevBayes TSV -> linearham output TSV."""
+    hmm = PhyloHMM(yaml_path, cluster_ind, hmm_param_dir, seed=seed)
+    samples = load_tree_samples(input_path)
+    result = run_pipeline_arrays(hmm, samples, num_rates, seed=seed,
+                                 chunk_size=chunk_size)
+    with open(output_path, "w") as fh:
+        write_output_tsv(result, hmm.space.is_heavy, fh)
+    return result

@@ -1,0 +1,160 @@
+"""Synthetic clonal-family generator for benchmarks and scaling tests.
+
+Produces a realistic-shape BCR problem (300+ site alignment, multiple
+genes per segment, posterior tree ensembles) without any external data:
+random germline gene parameter sets, a consistent Smith-Waterman window
+layout, a mutated alignment, and random binary trees in Newick form.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from linearham_tpu.io.germline import GermlineGene
+from linearham_tpu.io.trees_tsv import TreeSamples
+
+ALPHABET = "ACGT"
+
+
+def _emission_matrix(rng, bases: np.ndarray, fidelity=0.92) -> np.ndarray:
+    L = len(bases)
+    out = np.full((4, L), (1 - fidelity) / 3)
+    out[bases, np.arange(L)] = fidelity
+    return out
+
+
+def _make_gene(rng, name: str, gtype: str, length: int) -> GermlineGene:
+    bases = rng.integers(0, 4, size=length).astype(np.int32)
+    landing_in = np.zeros(length)
+    n_entry = min(4, length)
+    landing_in[:n_entry] = rng.dirichlet([3.0] + [1.0] * (n_entry - 1))
+    landing_out = np.zeros(length)
+    n_exit = min(5, length)
+    landing_out[-n_exit:] = np.linspace(0.05, 0.9, n_exit)
+    landing_out[-1] = 1.0
+    transition = np.clip(1.0 - landing_out[:-1], 1e-3, 1.0)
+
+    gene = GermlineGene(
+        name=name, gtype=gtype, alphabet=ALPHABET,
+        gene_prob=1.0,  # normalized by caller across genes of a type
+        landing_in=landing_in, landing_out=landing_out,
+        transition=transition,
+        emission=_emission_matrix(rng, bases),
+        bases=bases,
+    )
+    if gtype in ("D", "J"):
+        gene.nti_landing_in = rng.dirichlet([2.0] * 4)
+        nlo = np.zeros((4, length))
+        nlo[:, :n_entry] = np.tile(
+            rng.dirichlet([2.0] * n_entry) * 0.6, (4, 1))
+        gene.nti_landing_out = nlo
+        self_mass = 1.0 - nlo.sum(1, keepdims=True)
+        gene.nti_transition = (
+            np.tile(rng.dirichlet([2.0] * 4), (4, 1)) * self_mass)
+        gene.nti_emission = np.full((4, 4), 0.05) + np.eye(4) * 0.8
+    if gtype in ("V", "J"):
+        gene.n_transition = 0.9
+        gene.n_emission = np.full(4, 0.25)
+    return gene
+
+
+@dataclass
+class SyntheticFamily:
+    genes: Dict[str, GermlineGene]
+    locus: str
+    flexbounds: Dict[str, Tuple[int, int]]
+    relpos: Dict[str, int]
+    naive_seq_codes: np.ndarray        # [L]
+    msa: np.ndarray                    # [n_seqs, L] int codes incl. N=4
+    unique_ids: List[str]
+    n_sites: int
+
+
+def make_family(
+    n_seqs: int = 10,
+    n_v: int = 3,
+    n_d: int = 3,
+    n_j: int = 2,
+    v_len: int = 290,
+    d_len: int = 30,
+    j_len: int = 55,
+    mutation_rate: float = 0.05,
+    seed: int = 0,
+) -> SyntheticFamily:
+    """Build one synthetic igh clonal family (~v_len+80 sites)."""
+    rng = np.random.default_rng(seed)
+
+    genes: Dict[str, GermlineGene] = {}
+    relpos: Dict[str, int] = {}
+    v_end = 1 + v_len                       # 291 for defaults
+    d_rel = v_end - 3                       # D starts inside the V tail
+    j_rel = d_rel + d_len - 3
+    L = j_rel + j_len
+    flexbounds = {
+        "v_l": (0, 2),
+        "v_r": (v_end - 7, v_end - 3),
+        "d_l": (v_end - 2, v_end + 2),
+        "d_r": (d_rel + d_len - 9, d_rel + d_len - 5),
+        "j_l": (d_rel + d_len - 4, d_rel + d_len),
+        "j_r": (L, L),
+    }
+
+    for kind, count, length, rel in (
+            ("V", n_v, v_len, 1), ("D", n_d, d_len, d_rel),
+            ("J", n_j, j_len, j_rel)):
+        for k in range(count):
+            name = f"IGH{kind}_syn*{k:02d}"
+            g = _make_gene(rng, name, kind, length)
+            g.gene_prob = 1.0 / count
+            genes[name] = g
+            relpos[name] = rel
+
+    # Naive sequence: follow the first gene of each segment.
+    naive = rng.integers(0, 4, size=L).astype(np.int32)
+    for name, g in genes.items():
+        rel = relpos[name]
+        if name.endswith("*00"):
+            naive[rel:rel + g.length] = g.bases[:L - rel]
+
+    msa = np.tile(naive, (n_seqs, 1))
+    mut = rng.random(msa.shape) < mutation_rate
+    msa[mut] = rng.integers(0, 4, size=mut.sum())
+
+    return SyntheticFamily(
+        genes=genes, locus="igh", flexbounds=flexbounds, relpos=relpos,
+        naive_seq_codes=naive, msa=msa,
+        unique_ids=[f"seq{i}" for i in range(n_seqs)],
+        n_sites=L,
+    )
+
+
+def random_newick(rng, labels: List[str]) -> str:
+    """Random binary tree over the given labels with random branch lengths."""
+    nodes = [f"{lab}:{rng.uniform(0.01, 0.3):.5f}" for lab in labels]
+    while len(nodes) > 2:
+        i, j = sorted(rng.choice(len(nodes), size=2, replace=False))
+        b = nodes.pop(j)
+        a = nodes.pop(i)
+        nodes.append(f"({a},{b}):{rng.uniform(0.01, 0.3):.5f}")
+    return f"({nodes[0]},{nodes[1]});" if len(nodes) == 2 \
+        else f"({nodes[0]});"
+
+
+def make_tree_samples(family: SyntheticFamily, n_trees: int,
+                      seed: int = 0) -> TreeSamples:
+    """A synthetic posterior ensemble over the family's taxa."""
+    rng = np.random.default_rng(seed)
+    labels = ["naive"] + list(family.unique_ids)
+    newicks = [random_newick(rng, labels) for _ in range(n_trees)]
+    return TreeSamples(
+        iteration=np.arange(n_trees) * 10,
+        rb_loglik=-rng.uniform(900, 1100, n_trees),
+        prior=-rng.uniform(10, 20, n_trees),
+        alpha=rng.uniform(0.4, 3.0, n_trees),
+        er=rng.uniform(0.5, 2.0, (n_trees, 6)),
+        pi=rng.dirichlet([8.0] * 4, n_trees),
+        newicks=newicks,
+    )

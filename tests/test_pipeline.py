@@ -1,0 +1,117 @@
+"""Pipeline + CLI tests: batched ensemble vs single-tree consistency."""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from linearham_tpu.io.trees_tsv import load_tree_samples
+from linearham_tpu.models.phylo_hmm import PhyloHMM
+from linearham_tpu.pipeline.run import (
+    run_pipeline_arrays,
+    write_output_tsv,
+)
+
+PI = [0.17, 0.19, 0.25, 0.39]
+
+
+def _make_tsv(path, n_rows=5, seed=0):
+    """Synthesize a RevBayes-style posterior TSV over the fixture taxa."""
+    rng = np.random.default_rng(seed)
+    cols = (["Iteration", "Likelihood", "Prior", "alpha"]
+            + [f"er[{i}]" for i in range(1, 7)]
+            + [f"pi[{i}]" for i in range(1, 5)] + ["tree"])
+    lines = ["\t".join(cols)]
+    topologies = [
+        "((0:{a},1:{b}):{c},naive:{d},2:{e});",
+        "((0:{a},2:{b}):{c},naive:{d},1:{e});",
+        "((1:{a},2:{b})[&index=7]:{c},naive:{d},0:{e});",
+    ]
+    for t in range(n_rows):
+        bl = rng.uniform(0.05, 0.8, size=5)
+        tree = topologies[t % 3].format(
+            a=bl[0], b=bl[1], c=bl[2], d=bl[3], e=bl[4])
+        er = rng.uniform(0.5, 2.0, size=6)
+        pi = rng.dirichlet([5, 5, 5, 5])
+        alpha = rng.uniform(0.4, 3.0)
+        row = ([str(t * 10), f"{-100 - t:.4f}", "-12.0", f"{alpha:.6f}"]
+               + [f"{x:.6f}" for x in er] + [f"{x:.6f}" for x in pi]
+               + [tree])
+        lines.append("\t".join(row))
+    path.write_text("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def tsv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("pipeline") / "revbayes_run.trees"
+    _make_tsv(p)
+    return p
+
+
+def test_pipeline_matches_single_tree(fixtures_dir, tsv, tmp_path):
+    hmm = PhyloHMM(str(fixtures_dir / "phylo_hmm_input.yaml"), 0,
+                   str(fixtures_dir / "hmm_params"), seed=0)
+    samples = load_tree_samples(str(tsv))
+    result = run_pipeline_arrays(hmm, samples, num_rates=4, seed=0,
+                                 chunk_size=2)  # force padded final chunk
+
+    assert result.lh_loglik.shape == (5,)
+    np.testing.assert_allclose(
+        result.logweight, result.lh_loglik - samples.rb_loglik)
+
+    # Each batched log-likelihood must equal the single-tree path.
+    for t in range(samples.n_samples):
+        single = PhyloHMM(str(fixtures_dir / "phylo_hmm_input.yaml"), 0,
+                          str(fixtures_dir / "hmm_params"), seed=0)
+        nw_file = tmp_path / f"t{t}.nwk"
+        nw_file.write_text(samples.newicks[t] + "\n")
+        single.init_phylo_parameters(
+            str(nw_file), list(samples.er[t]), list(samples.pi[t]),
+            float(samples.alpha[t]), 4)
+        assert result.lh_loglik[t] == pytest.approx(
+            single.log_likelihood(), rel=1e-9), f"tree {t}"
+
+    # Output TSV round-trips with the expected column contract.
+    buf = io.StringIO()
+    write_output_tsv(result, heavy=True, outfile=buf)
+    lines = buf.getvalue().rstrip("\n").split("\n")
+    header = lines[0].split("\t")
+    assert header[:4] == ["Iteration", "RBLogLikelihood", "Prior", "alpha"]
+    assert "LHLogLikelihood" in header and "NaiveSequence" in header
+    assert "VDInsertion" in header and "DJInsertion" in header
+    assert len(lines) == 6
+    for line in lines[1:]:
+        assert len(line.split("\t")) == len(header)
+        naive = line.split("\t")[header.index("NaiveSequence")]
+        assert len(naive) == 15
+
+
+def test_tsv_loader_rejects_missing_columns(tmp_path):
+    p = tmp_path / "bad.trees"
+    p.write_text("Iteration\ttree\n0\t(a,b);\n")
+    with pytest.raises(ValueError, match="lacks required columns"):
+        load_tree_samples(str(p))
+
+
+def test_cli_compute_logl(fixtures_dir):
+    cmd = [
+        sys.executable, "-c",
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "from linearham_tpu.cli import main; import sys; sys.exit(main())",
+        "--compute-logl",
+        "--yaml-path", str(fixtures_dir / "phylo_hmm_input.yaml"),
+        "--cluster-ind", "0",
+        "--hmm-param-dir", str(fixtures_dir / "hmm_params"),
+        "--newick-path", str(fixtures_dir / "newton.tree"),
+        "--alpha", "1.0", "--num-rates", "4",
+    ]
+    for x in [1.0] * 6:
+        cmd += ["--er", str(x)]
+    for x in PI:
+        cmd += ["--pi", str(x)]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert float(out.stdout.strip()) == pytest.approx(-75.8136, abs=1e-3)
