@@ -41,83 +41,44 @@ class TreeArrays:
         return len(self.tip_labels)
 
 
-class _Node:
-    __slots__ = ("label", "length", "children")
-
-    def __init__(self):
-        self.label: Optional[str] = None
-        self.length: Optional[float] = None
-        self.children: List["_Node"] = []
-
-
-def _tokenize(text: str):
-    pos = 0
-    while pos < len(text):
-        m = _TOKEN_RE.match(text, pos)
-        if not m:
-            raise ValueError(f"bad Newick near {text[pos:pos + 30]!r}")
-        pos = m.end()
-        yield m.group(1) or m.group(2)
-
-
-def _parse_topology(text: str) -> _Node:
-    """Recursive-descent Newick parse (comments already stripped)."""
-    tokens = list(_tokenize(text))
-    i = 0
-
-    def node() -> _Node:
-        nonlocal i
-        n = _Node()
-        if tokens[i] == "(":
-            i += 1
-            while True:
-                n.children.append(node())
-                if tokens[i] == ",":
-                    i += 1
-                    continue
-                if tokens[i] == ")":
-                    i += 1
-                    break
-                raise ValueError("expected ',' or ')' in Newick")
-        if i < len(tokens) and tokens[i] not in "(),;:":
-            n.label = tokens[i]
-            i += 1
-        if i < len(tokens) and tokens[i] == ":":
-            i += 1
-            n.length = float(tokens[i])
-            i += 1
-        return n
-
-    try:
-        root = node()
-    except IndexError:
-        raise ValueError("truncated Newick string") from None
-    if i >= len(tokens) or tokens[i] != ";":
-        raise ValueError("Newick string must end with ';'")
-    return root
+def collapse_unary(n):
+    """Collapse single-child chains by summing branch lengths."""
+    while len(n.children) == 1:
+        child = n.children[0]
+        if n.length is not None or child.length is not None:
+            child.length = (n.length or 0.0) + (child.length or 0.0)
+        child.parent = n.parent
+        n = child
+    n.children = [collapse_unary(c) for c in n.children]
+    for c in n.children:
+        c.parent = n
+    return n
 
 
 def parse_newick(text: str, default_branch_length: float = EPS) -> TreeArrays:
     """Parse one Newick string; missing branch lengths default to EPS.
 
-    Unary chains (nodes with a single child, as produced by some rooted
-    exports) are collapsed by summing branch lengths.
+    Comments ([&...]) are ignored here; use io.annotated_newick to keep
+    them.  Unary chains are collapsed by summing branch lengths.
     """
-    root = _parse_topology(_COMMENT_RE.sub("", text.strip()))
+    from linearham_tpu.io.annotated_newick import parse_annotated_newick
 
-    # Collapse unary internal nodes.
-    def collapse(n: _Node) -> _Node:
-        while len(n.children) == 1:
-            child = n.children[0]
-            if n.length is not None or child.length is not None:
-                child.length = (n.length or 0.0) + (child.length or 0.0)
-            n = child
-        n.children = [collapse(c) for c in n.children]
-        return n
+    root = collapse_unary(
+        parse_annotated_newick(_COMMENT_RE.sub("", text.strip())))
+    arrays, _, _ = tree_arrays_from_node(
+        root, default_branch_length=default_branch_length)
+    return arrays
 
-    root = collapse(root)
 
+def tree_arrays_from_node(root, default_branch_length: float = EPS):
+    """Convert a parsed node tree into TreeArrays.
+
+    Returns (arrays, tip_nodes, internal_nodes): the node lists are indexed
+    by tip slot / internal slot so device results map back onto the tree.
+    """
     tip_labels: List[str] = []
+    tip_nodes: List[object] = []
+    internal_nodes: List[object] = []
     tip_parent: List[int] = []
     tip_length: List[float] = []
     edge_child: List[int] = []
@@ -125,11 +86,12 @@ def parse_newick(text: str, default_branch_length: float = EPS) -> TreeArrays:
     edge_length: List[float] = []
     internal_count = 0
 
-    def visit(n: _Node) -> Tuple[bool, int]:
+    def visit(n) -> Tuple[bool, int]:
         """Post-order walk; returns (is_tip, node id within its class)."""
         nonlocal internal_count
         if not n.children:
             tip_labels.append(n.label or "")
+            tip_nodes.append(n)
             tip_parent.append(-1)
             tip_length.append(
                 n.length if n.length is not None else default_branch_length)
@@ -137,6 +99,7 @@ def parse_newick(text: str, default_branch_length: float = EPS) -> TreeArrays:
         child_ids = [visit(c) for c in n.children]
         my_id = internal_count
         internal_count += 1
+        internal_nodes.append(n)
         for (is_tip, cid), c in zip(child_ids, n.children):
             length = (
                 c.length if c.length is not None else default_branch_length)
@@ -153,7 +116,7 @@ def parse_newick(text: str, default_branch_length: float = EPS) -> TreeArrays:
     if is_tip:
         raise ValueError("Newick tree must have at least one internal node")
 
-    return TreeArrays(
+    arrays = TreeArrays(
         tip_labels=tip_labels,
         tip_parent=np.asarray(tip_parent, np.int32),
         tip_length=np.asarray(tip_length, np.float64),
@@ -162,6 +125,7 @@ def parse_newick(text: str, default_branch_length: float = EPS) -> TreeArrays:
         edge_length=np.asarray(edge_length, np.float64),
         n_internal=internal_count,
     )
+    return arrays, tip_nodes, internal_nodes
 
 
 @dataclass

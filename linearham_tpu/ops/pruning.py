@@ -38,9 +38,16 @@ _HI = jax.lax.Precision.HIGHEST
 from linearham_tpu.ops.gtr import GTREigen
 
 
-def site_log_likelihoods(
+def tip_onehot(tip_states: jnp.ndarray, dtype) -> jnp.ndarray:
+    """One-hot tip partials [n_tips, 4, X]; ambiguous (>=4) rows are ones."""
+    codes = jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1)
+    return jnp.where(
+        (tip_states[:, None, :] == codes) | (tip_states[:, None, :] >= 4),
+        jnp.ones((), dtype), jnp.zeros((), dtype))
+
+
+def compute_partials(
     eig: GTREigen,            # u/u_inv [4,4], lam [4] for this tree
-    pi: jnp.ndarray,          # [4]
     rates: jnp.ndarray,       # [R]
     tip_states: jnp.ndarray,  # [n_tips, X] xMSA codes permuted to tip slots
     tip_parent: jnp.ndarray,  # [n_tips] internal slot ids
@@ -48,20 +55,17 @@ def site_log_likelihoods(
     edge_child: jnp.ndarray,  # [E] internal slots (post-order)
     edge_parent: jnp.ndarray, # [E]
     edge_length: jnp.ndarray, # [E]
-    root_slot: jnp.ndarray,   # [] int
     n_slots: int,             # static: internal slots incl. sink
-) -> jnp.ndarray:
-    """Per-site log-likelihood [X] for one tree (vmap over a batch)."""
-    R = rates.shape[0]
-    X = tip_states.shape[1]
+):
+    """Upward (Felsenstein) pass for one tree.
+
+    Returns (partials [slots, R, 4, X], scale [R, X]); each internal slot
+    holds the likelihood of the data below it conditional on its state,
+    max-normalized with the log-scale accumulated per (rate, site).
+    """
     dtype = eig.u.dtype
 
-    # One-hot tip partials with all-ones rows for ambiguous bases, laid out
-    # [n_tips, 4, X].
-    codes = jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1)
-    onehot = jnp.where(
-        (tip_states[:, None, :] == codes) | (tip_states[:, None, :] >= 4),
-        jnp.ones((), dtype), jnp.zeros((), dtype))
+    onehot = tip_onehot(tip_states, dtype)
 
     # --- tips: propagate all tip messages in one shot --------------------
     expd_tip = jnp.exp(
@@ -107,9 +111,35 @@ def site_log_likelihoods(
     (partials, scale), _ = jax.lax.scan(
         step, (partials, scale), (edge_child, edge_parent, expd_edge)
     )
+    return partials, scale
 
+
+def per_rate_root_loglik(partials, scale, pi, root_slot):
+    """Per-(rate, site) log-likelihood [R, X] at the root."""
     root = partials[root_slot]                         # [R, 4, X]
-    per_rate = jnp.log(
+    return jnp.log(
         jnp.einsum("i,rix->rx", pi, root, precision=_HI)) + scale
+
+
+def site_log_likelihoods(
+    eig: GTREigen,
+    pi: jnp.ndarray,
+    rates: jnp.ndarray,
+    tip_states: jnp.ndarray,
+    tip_parent: jnp.ndarray,
+    tip_length: jnp.ndarray,
+    edge_child: jnp.ndarray,
+    edge_parent: jnp.ndarray,
+    edge_length: jnp.ndarray,
+    root_slot: jnp.ndarray,
+    n_slots: int,
+) -> jnp.ndarray:
+    """Per-site rate-mixed log-likelihood [X] for one tree."""
+    partials, scale = compute_partials(
+        eig, rates, tip_states, tip_parent, tip_length,
+        edge_child, edge_parent, edge_length, n_slots,
+    )
+    per_rate = per_rate_root_loglik(partials, scale, pi, root_slot)
+    R = rates.shape[0]
     return jax.scipy.special.logsumexp(per_rate, axis=0) - jnp.log(
-        jnp.asarray(R, dtype))
+        jnp.asarray(R, eig.u.dtype))

@@ -1,0 +1,236 @@
+"""The end-to-end workflow runner (the reference's SCons layer, rebuilt).
+
+Chains the pipeline steps for one clonal family with file-artifact resume:
+a step is skipped when all its outputs already exist and are newer than its
+inputs (the property SCons gave the reference, SURVEY.md section 5).
+External engines (partis, RevBayes) stay external: their steps shell out
+when a binary is configured and otherwise expect the artifact to already
+exist.
+
+Step table (mirrors README step contract of the reference):
+  parse-cluster     partis YAML -> cluster.yaml + cluster_seqs.fasta
+  revbayes-config   -> revbayes_run.rev
+  revbayes          (external) -> revbayes_run.trees
+  pipeline          -> lh_revbayes_run.trees (per-tree logliks + samples)
+  bootstrap-asr     -> linearham_run.{trees,log,ess}
+  annotations       -> linearham_annotations_{best,all}.yaml
+  naive-probs       -> aa_naive_seqs.{fasta,dnamap,png}
+  lineage-probs     -> aa_lineage_seqs.* (with --lineage-unique-ids)
+
+Usage: python -m linearham_tpu.workflow --outdir out --partis-yaml-file ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+from typing import List, Optional
+
+
+def _fresh(outputs: List[str], inputs: List[str]) -> bool:
+    if not all(os.path.exists(o) for o in outputs):
+        return False
+    newest_in = max((os.path.getmtime(i) for i in inputs if
+                     os.path.exists(i)), default=0.0)
+    return all(os.path.getmtime(o) >= newest_in for o in outputs)
+
+
+class Workflow:
+    def __init__(self, outdir: str, verbose: bool = True):
+        self.outdir = outdir
+        self.verbose = verbose
+        os.makedirs(outdir, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.outdir, name)
+
+    def step(self, name: str, outputs: List[str], inputs: List[str],
+             fn, external: bool = False) -> None:
+        """Run ``fn`` unless the outputs are fresh.
+
+        ``external`` steps (artifacts produced by an external engine, e.g.
+        RevBayes) are skipped whenever their outputs merely exist -- a
+        hand-supplied artifact must not be invalidated by config mtimes.
+        """
+        fresh = (all(os.path.exists(o) for o in outputs) if external
+                 else _fresh(outputs, inputs))
+        if fresh:
+            if self.verbose:
+                print(f"[workflow] {name}: up to date")
+            return
+        if self.verbose:
+            print(f"[workflow] {name}: running")
+        fn()
+        missing = [o for o in outputs if not os.path.exists(o)]
+        if missing:
+            raise RuntimeError(f"step {name} did not produce {missing}")
+
+
+def run_family_workflow(
+    outdir: str,
+    partis_yaml_file: str,
+    hmm_param_dir: str,
+    cluster_index: Optional[int] = None,
+    partition_index: Optional[int] = None,
+    seed_unique_id: Optional[str] = None,
+    mcmc_iter: int = 10000,
+    mcmc_thin: int = 10,
+    tune_iter: int = 5000,
+    tune_thin: int = 100,
+    num_rates: int = 4,
+    burnin_frac: float = 0.1,
+    subsamp_frac: float = 0.05,
+    seed: int = 0,
+    rb_binary: Optional[str] = None,
+    lineage_unique_ids: Optional[List[str]] = None,
+    pfilters: Optional[List[float]] = None,
+    indel_reversed_seqs: bool = True,
+) -> None:
+    wf = Workflow(outdir)
+    cluster_yaml = wf.path("cluster.yaml")
+    cluster_fasta = wf.path("cluster_seqs.fasta")
+    rev_file = wf.path("revbayes_run.rev")
+    rb_trees = wf.path("revbayes_run.trees")
+    lh_trees = wf.path("lh_revbayes_run.trees")
+    run_base = wf.path("linearham_run")
+    ann_base = wf.path("linearham_annotations")
+
+    from linearham_tpu.postprocess.parse_cluster import parse_cluster
+
+    wf.step(
+        "parse-cluster", [cluster_yaml, cluster_fasta], [partis_yaml_file],
+        lambda: parse_cluster(
+            partis_yaml_file, cluster_yaml, cluster_fasta,
+            partition_index=partition_index, cluster_index=cluster_index,
+            seed_unique_id=seed_unique_id,
+            indel_reversed_seqs=indel_reversed_seqs,
+        ),
+    )
+
+    from linearham_tpu.postprocess.revbayes_config import generate_rev_file
+
+    wf.step(
+        "revbayes-config", [rev_file], [cluster_fasta],
+        lambda: generate_rev_file(
+            cluster_fasta, rev_file, mcmc_iter, mcmc_thin, tune_iter,
+            tune_thin, num_rates, seed,
+        ),
+    )
+
+    def run_revbayes():
+        if rb_binary is None:
+            raise RuntimeError(
+                f"{rb_trees} is missing and no --rb-binary was given; run "
+                f"RevBayes on {rev_file} (the tree MCMC stays an external "
+                "engine, as in the reference)"
+            )
+        subprocess.run([rb_binary, rev_file], check=True, cwd=outdir)
+
+    wf.step("revbayes", [rb_trees], [rev_file], run_revbayes,
+            external=True)
+
+    from linearham_tpu.pipeline.run import run_pipeline
+
+    wf.step(
+        "pipeline", [lh_trees], [rb_trees, cluster_yaml],
+        lambda: run_pipeline(
+            cluster_yaml, 0, hmm_param_dir, rb_trees, lh_trees, num_rates,
+            seed=seed,
+        ),
+    )
+
+    from linearham_tpu.postprocess.bootstrap_asr import run_bootstrap_asr
+
+    wf.step(
+        "bootstrap-asr",
+        [run_base + ext for ext in (".trees", ".log", ".ess")],
+        [lh_trees, cluster_fasta],
+        lambda: run_bootstrap_asr(
+            lh_trees, cluster_fasta, burnin_frac, subsamp_frac, seed,
+            output_base=run_base,
+        ),
+    )
+
+    from linearham_tpu.postprocess.annotations import write_lh_annotations
+
+    wf.step(
+        "annotations",
+        [ann_base + "_best.yaml", ann_base + "_all.yaml"],
+        [run_base + ".log", run_base + ".trees", cluster_yaml],
+        lambda: write_lh_annotations(
+            cluster_yaml, run_base + ".log", run_base + ".trees", ann_base,
+        ),
+    )
+
+    from linearham_tpu.postprocess.naive_probs import tabulate_naive_probs
+
+    naive_base = wf.path("aa_naive_seqs")
+    wf.step(
+        "naive-probs",
+        [naive_base + ".fasta", naive_base + ".dnamap"],
+        [run_base + ".trees"],
+        lambda: tabulate_naive_probs(run_base + ".trees", naive_base),
+    )
+
+    if lineage_unique_ids:
+        from linearham_tpu.postprocess.lineage_probs import (
+            tabulate_lineage_probs,
+        )
+
+        for uid in lineage_unique_ids:
+            lineage_base = wf.path(f"aa_lineage_seqs_{uid}")
+            wf.step(
+                f"lineage-probs[{uid}]",
+                [lineage_base + ".fasta", lineage_base + ".dnamap"],
+                [run_base + ".trees", naive_base + ".fasta"],
+                lambda uid=uid, base=lineage_base: tabulate_lineage_probs(
+                    run_base + ".trees", naive_base + ".fasta", uid,
+                    pfilters or [0.1], base,
+                ),
+            )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="linearham-tpu-workflow",
+        description="Run the full linearham workflow for one family.",
+    )
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--partis-yaml-file", required=True)
+    p.add_argument("--hmm-param-dir", required=True)
+    p.add_argument("--cluster-index", type=int)
+    p.add_argument("--partition-index", type=int)
+    p.add_argument("--seed-unique-id")
+    p.add_argument("--mcmc-iter", type=int, default=10000)
+    p.add_argument("--mcmc-thin", type=int, default=10)
+    p.add_argument("--tune-iter", type=int, default=5000)
+    p.add_argument("--tune-thin", type=int, default=100)
+    p.add_argument("--num-rates", type=int, default=4)
+    p.add_argument("--burnin-frac", type=float, default=0.1)
+    p.add_argument("--subsamp-frac", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rb-binary", help="RevBayes executable (external)")
+    p.add_argument("--lineage-unique-ids", nargs="*", default=None)
+    p.add_argument("--pfilters", nargs="*", type=float, default=[0.1])
+    args = p.parse_args(argv)
+
+    run_family_workflow(
+        args.outdir, args.partis_yaml_file, args.hmm_param_dir,
+        cluster_index=args.cluster_index,
+        partition_index=args.partition_index,
+        seed_unique_id=args.seed_unique_id,
+        mcmc_iter=args.mcmc_iter, mcmc_thin=args.mcmc_thin,
+        tune_iter=args.tune_iter, tune_thin=args.tune_thin,
+        num_rates=args.num_rates, burnin_frac=args.burnin_frac,
+        subsamp_frac=args.subsamp_frac, seed=args.seed,
+        rb_binary=args.rb_binary,
+        lineage_unique_ids=args.lineage_unique_ids,
+        pfilters=args.pfilters,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

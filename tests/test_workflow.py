@@ -1,0 +1,73 @@
+"""Workflow runner: end-to-end over the fixtures with artifact resume."""
+
+import os
+import shutil
+import time
+
+import pytest
+
+from linearham_tpu.workflow import run_family_workflow
+
+from test_pipeline import _make_tsv
+
+
+@pytest.fixture()
+def outdir(fixtures_dir, tmp_path):
+    out = tmp_path / "wf"
+    out.mkdir()
+    # The tree MCMC is an external engine; pre-place its artifact.
+    _make_tsv(out / "revbayes_run.trees", n_rows=8, seed=1)
+    return out
+
+
+def _run(fixtures_dir, outdir):
+    run_family_workflow(
+        str(outdir),
+        partis_yaml_file=str(fixtures_dir / "phylo_hmm_input.yaml"),
+        hmm_param_dir=str(fixtures_dir / "hmm_params"),
+        mcmc_iter=10, mcmc_thin=1, tune_iter=0, tune_thin=1,
+        num_rates=4, burnin_frac=0.25, subsamp_frac=0.5, seed=0,
+        lineage_unique_ids=["0"], pfilters=[0.0],
+    )
+
+
+def test_workflow_end_to_end_and_resume(fixtures_dir, outdir, capsys):
+    _run(fixtures_dir, outdir)
+    expected = [
+        "cluster.yaml", "cluster_seqs.fasta", "revbayes_run.rev",
+        "lh_revbayes_run.trees", "linearham_run.trees",
+        "linearham_run.log", "linearham_run.ess",
+        "linearham_annotations_best.yaml", "linearham_annotations_all.yaml",
+        "aa_naive_seqs.fasta", "aa_naive_seqs.dnamap",
+        "aa_lineage_seqs_0.fasta", "aa_lineage_seqs_0.dnamap",
+    ]
+    for name in expected:
+        assert (outdir / name).exists(), name
+    capsys.readouterr()
+
+    # Second run: everything must be skipped as up to date.
+    mtimes = {n: os.path.getmtime(outdir / n) for n in expected}
+    _run(fixtures_dir, outdir)
+    out = capsys.readouterr().out
+    assert "running" not in out
+    for n in expected:
+        assert os.path.getmtime(outdir / n) == mtimes[n], n
+
+    # Invalidate one intermediate: downstream steps rerun.
+    time.sleep(0.02)
+    os.utime(outdir / "lh_revbayes_run.trees")
+    _run(fixtures_dir, outdir)
+    out = capsys.readouterr().out
+    assert "bootstrap-asr: running" in out
+    assert "parse-cluster: up to date" in out
+
+
+def test_workflow_missing_external_artifact(fixtures_dir, tmp_path):
+    out = tmp_path / "wf2"
+    out.mkdir()
+    with pytest.raises(RuntimeError, match="RevBayes"):
+        run_family_workflow(
+            str(out),
+            partis_yaml_file=str(fixtures_dir / "phylo_hmm_input.yaml"),
+            hmm_param_dir=str(fixtures_dir / "hmm_params"),
+        )
