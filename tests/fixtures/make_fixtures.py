@@ -268,12 +268,44 @@ RELPOS_EXTRA = {"IGHD_ex*01": 5, "IGHJ_ex*01": 10, "IGHV_ex*01": 1,
 RELPOS_PINNED = {"IGHD_ex*01": 5, "IGHJ_ex*01": 10, "IGHV_ex*01": 0}
 
 
+def _igk_cluster(seqs=None, ids=None):
+    """A 5-region (V-J, no D) light-chain clonal family."""
+    return json.dumps({
+        "germline-info": {"locus": "igk"},
+        "events": [{
+            "input_seqs": seqs or [SEQ1],
+            "naive_seq": NAIVE,
+            "has_shm_indels": [False] * len(seqs or [SEQ1]),
+            "linearham-info": {
+                "relpos": {"IGKV_ex*01": 1, "IGKJ_ex*01": 8},
+                "flexbounds": {
+                    "v_l": [0, 2], "v_r": [4, 6],
+                    "j_l": [7, 9], "j_r": [13, 15],
+                },
+            },
+            "unique_ids": ids or ["read1"],
+        }],
+    }, indent=1) + "\n"
+
+
 def main():
     params_dir = os.path.join(HERE, "hmm_params")
     os.makedirs(params_dir, exist_ok=True)
     for name, spec in GENES.items():
         with open(os.path.join(params_dir, name + ".yaml"), "w") as fh:
             fh.write(gene_yaml(name, spec))
+
+    # Light-chain (igk) parameter dir: V and J reuse the igh shapes under
+    # IGK names; the IGKD file exists only to exercise the loader's
+    # light-chain-D skip rule.
+    igk_dir = os.path.join(HERE, "igk_hmm_params")
+    os.makedirs(igk_dir, exist_ok=True)
+    for src, dst in (("IGHV_ex_star_01", "IGKV_ex_star_01"),
+                     ("IGHJ_ex_star_01", "IGKJ_ex_star_01"),
+                     ("IGHD_ex_star_01", "IGKD_ex_star_01")):
+        text = gene_yaml(src, GENES[src]).replace(src, dst)
+        with open(os.path.join(igk_dir, dst + ".yaml"), "w") as fh:
+            fh.write(text)
 
     pure_dir = os.path.join(HERE, "phylo_likelihood_hmm_params")
     os.makedirs(pure_dir, exist_ok=True)
@@ -297,6 +329,8 @@ def main():
             cluster_input(RELPOS_PINNED, BOUNDS_PINNED, SEQ3, NAIVE,
                           ["0", "1", "2"]),
         "newton.tree": "((0:0.2, 1:0.4):0.6, naive:0.3, 2:0.5);\n",
+        "simple_hmm_input_igk.yaml": _igk_cluster(),
+        "phylo_hmm_input_igk.yaml": _igk_cluster(SEQ3, ["0", "1", "2"]),
     }
     for fname, text in files.items():
         with open(os.path.join(HERE, fname), "w") as fh:
