@@ -50,9 +50,14 @@ def prepare_ensemble(hmm: PhyloHMM, samples: TreeSamples, num_rates: int):
     """Host-side ensemble prep: parse/batch trees, gamma rates, GTR eigen.
 
     Returns (tree_arrays dict, eig (numpy GTREigen), rates [T,R], n_slots).
+    Tree parsing uses the native C++ batch parser when available.
     """
-    trees = [parse_newick(nw) for nw in samples.newicks]
-    tb = batch_trees(trees, hmm.xmsa.labels)
+    from linearham_tpu.io.native import parse_newicks_batch
+
+    tb = parse_newicks_batch(samples.newicks, hmm.xmsa.labels)
+    if tb is None:
+        trees = [parse_newick(nw) for nw in samples.newicks]
+        tb = batch_trees(trees, hmm.xmsa.labels)
     rates = np.stack([
         gamma_category_rates(a, num_rates) for a in samples.alpha
     ])

@@ -1,0 +1,63 @@
+"""Native C++ batch Newick parser: equivalence with the Python parser."""
+
+import time
+
+import numpy as np
+import pytest
+
+from linearham_tpu.io.native import native_available, parse_newicks_batch
+from linearham_tpu.io.newick import batch_trees, parse_newick
+from linearham_tpu.utils.synth import random_newick
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library unavailable")
+
+
+def _random_batch(n_trees, labels, seed=0):
+    rng = np.random.default_rng(seed)
+    return [random_newick(rng, labels) for _ in range(n_trees)]
+
+
+def test_native_matches_python_parser():
+    labels = ["naive"] + [f"s{i}" for i in range(7)]
+    newicks = _random_batch(40, labels, seed=1)
+    newicks.append("((s0:0.1,s1[&index=4]:0.2):0.3,(s2,s3):0.1,"
+                   "(s4:1e-3,(s5:0.2,s6:0.1):0.4):0.2,naive:0.5);")
+
+    native = parse_newicks_batch(newicks, labels)
+    python = batch_trees([parse_newick(nw) for nw in newicks], labels)
+
+    np.testing.assert_array_equal(native.tip_perm, python.tip_perm)
+    np.testing.assert_array_equal(native.tip_parent, python.tip_parent)
+    np.testing.assert_allclose(native.tip_length, python.tip_length)
+    np.testing.assert_array_equal(native.root_slot, python.root_slot)
+    assert native.n_slots == python.n_slots
+    np.testing.assert_array_equal(native.edge_child, python.edge_child)
+    np.testing.assert_array_equal(native.edge_parent, python.edge_parent)
+    np.testing.assert_allclose(native.edge_length, python.edge_length)
+
+
+def test_native_error_reporting():
+    labels = ["a", "b", "naive"]
+    with pytest.raises(ValueError, match="unknown tip label"):
+        parse_newicks_batch(["((a:1,b:1):1,oops:1);"], labels)
+    with pytest.raises(ValueError, match="missing ';'"):
+        parse_newicks_batch(["((a:1,b:1):1,naive:1)"], labels)
+    with pytest.raises(ValueError, match="tip count"):
+        parse_newicks_batch(["(a:1,b:1);"], labels)
+
+
+def test_native_speedup():
+    labels = ["naive"] + [f"s{i}" for i in range(30)]
+    newicks = _random_batch(500, labels, seed=2)
+
+    t0 = time.perf_counter()
+    parse_newicks_batch(newicks, labels)
+    native_t = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    batch_trees([parse_newick(nw) for nw in newicks], labels)
+    python_t = time.perf_counter() - t0
+
+    # The native parser must beat Python comfortably (typically 30-100x).
+    assert native_t < python_t / 3, (native_t, python_t)
