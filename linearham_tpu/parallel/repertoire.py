@@ -1,0 +1,250 @@
+"""Repertoire-scale execution: many clonal families per device batch.
+
+Families are bucketed by junction-window row counts (the only dimensions
+the forward scan cannot pad) and every other dimension -- state counts,
+gene counts, xMSA columns, alignment depth, tree size -- is padded to the
+bucket maximum with *dead* elements:
+
+  states    zero transition columns + -inf emissions (never reachable)
+  genes     -inf entry log-probability
+  xmsa cols gathered by nobody
+  tips      ambiguous-N states parented to the sink slot (contribute 1)
+  edges     sink->sink no-ops
+
+One stacked [F, ...] batch then runs through the vmapped fused step and
+shards over a (fam, trees) mesh (see parallel.mesh).  The reference's
+equivalent is one whole scons invocation per family (SURVEY.md section 2g).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linearham_tpu.io.trees_tsv import TreeSamples
+from linearham_tpu.models.decode import Annotation
+from linearham_tpu.models.phylo_hmm import PhyloHMM
+from linearham_tpu.parallel.mesh import multi_family_step, shard_family_batch
+from linearham_tpu.pipeline.run import prepare_ensemble
+
+NEG = -1e30  # finite stand-in for -inf in padded log tensors
+
+
+@dataclass
+class FamilyTask:
+    hmm: PhyloHMM
+    samples: TreeSamples
+
+
+@dataclass
+class FamilyResult:
+    loglik: np.ndarray            # [T]
+    logweight: np.ndarray         # [T]
+    annotations: List[Annotation]
+
+
+def _pad(a: np.ndarray, shape: Tuple[int, ...], fill=0.0) -> np.ndarray:
+    out = np.full(shape, fill, dtype=a.dtype)
+    out[tuple(slice(0, s) for s in a.shape)] = a
+    return out
+
+
+def _bucket_key(hmm: PhyloHMM) -> Tuple:
+    sp = hmm.space
+    heavy = sp.is_heavy
+    return (
+        heavy,
+        sp.vd_junction.n_rows,
+        sp.dj_junction.n_rows if heavy else -1,
+    )
+
+
+def _stack_bucket(tasks: List[FamilyTask], num_rates: int, dtype):
+    """Pad + stack all per-family device inputs for one bucket."""
+    hmms = [t.hmm for t in tasks]
+    heavy = hmms[0].space.is_heavy
+    preps = [prepare_ensemble(t.hmm, t.samples, num_rates) for t in tasks]
+
+    T = {p[2].shape[0] for p in preps}
+    if len(T) != 1:
+        raise ValueError("all families in a batch need equal tree counts")
+
+    def gather(fn):
+        return [fn(h) for h in hmms]
+
+    trans_list = [
+        {k: np.asarray(v) for k, v in h._trans.items()} for h in hmms]
+    consts_list = [
+        jax.tree.map(np.asarray, h._consts) for h in hmms]
+    xmsa_list = gather(lambda h: np.asarray(h._xmsa_rows))
+    naive_list = gather(lambda h: np.asarray(h._naive_bases))
+
+    def maxdim(arrs, axis):
+        return max(a.shape[axis] for a in arrs)
+
+    Gv = maxdim([t["vgerm_static_log"] for t in trans_list], 0)
+    S1 = maxdim([t["vd"] for t in trans_list], 0)
+    Gj = maxdim([t["jpadding_log"] for t in trans_list], 0)
+    if heavy:
+        Gd = maxdim([t["dgerm_dj"] for t in trans_list], 0)
+        S2 = maxdim([t["dj"] for t in trans_list], 0)
+    X = maxdim(xmsa_list, 1)
+    n_msa_rows = maxdim(xmsa_list, 0)
+    n_tips = maxdim([p[0]["tip_perm"] for p in preps], 1)
+    e_max = maxdim([p[0]["edge_child"] for p in preps], 1)
+    n_slots = max(p[3] for p in preps)
+    sink = n_slots - 1
+
+    trans = {}
+    trans["vgerm_static_log"] = np.stack([
+        _pad(t["vgerm_static_log"], (Gv,), NEG) for t in trans_list])
+    trans["vgerm_vd"] = np.stack([
+        _pad(t["vgerm_vd"], (Gv, S1)) for t in trans_list])
+    trans["vd"] = np.stack([_pad(t["vd"], (S1, S1)) for t in trans_list])
+    g_after_vd = Gd if heavy else Gj
+    trans["vd_dgerm"] = np.stack([
+        _pad(t["vd_dgerm"], (S1, g_after_vd)) for t in trans_list])
+    trans["jpadding_log"] = np.stack([
+        _pad(t["jpadding_log"], (Gj,), NEG) for t in trans_list])
+    if heavy:
+        trans["dgerm_dj"] = np.stack([
+            _pad(t["dgerm_dj"], (Gd, S2)) for t in trans_list])
+        trans["dj"] = np.stack([
+            _pad(t["dj"], (S2, S2)) for t in trans_list])
+        trans["dj_jgerm"] = np.stack([
+            _pad(t["dj_jgerm"], (S2, Gj)) for t in trans_list])
+
+    def stack_linear(name, n_genes):
+        inds = [c[name]["inds"] for c in consts_list]
+        segs = [c[name]["seg"] for c in consts_list]
+        n_elems = max(a.shape[0] for a in inds)
+        return {
+            "inds": np.stack([_pad(a, (n_elems,), 0) for a in inds]),
+            "seg": np.stack([
+                _pad(a, (n_elems, n_genes)) for a in segs]),
+        }
+
+    def stack_junction(name, rows, n_states):
+        return {
+            "inds": np.stack([
+                _pad(c[name]["inds"], (rows, n_states), 0)
+                for c in consts_list]),
+            "mask": np.stack([
+                _pad(c[name]["mask"], (rows, n_states), False)
+                for c in consts_list]),
+        }
+
+    r1 = hmms[0].space.vd_junction.n_rows
+    consts = {
+        "vpadding": stack_linear("vpadding", Gv),
+        "vgerm": stack_linear("vgerm", Gv),
+        "vd_junction": stack_junction("vd_junction", r1, S1),
+        "jgerm": stack_linear("jgerm", Gj),
+        "jpadding": stack_linear("jpadding", Gj),
+    }
+    if heavy:
+        r2 = hmms[0].space.dj_junction.n_rows
+        consts["dgerm"] = stack_linear("dgerm", Gd)
+        consts["dj_junction"] = stack_junction("dj_junction", r2, S2)
+
+    xmsa_rows = np.stack([
+        _pad(a, (n_msa_rows, X), 4) for a in xmsa_list])
+    naive_bases = np.stack([_pad(a, (X,), 4) for a in naive_list])
+
+    tree = {}
+    for key, fill in (("tip_perm", 0), ("tip_parent", sink),
+                      ("tip_length", 0.0), ("edge_child", sink),
+                      ("edge_parent", sink), ("edge_length", 0.0),
+                      ("root_slot", 0)):
+        arrs = [p[0][key] for p in preps]
+        if key == "root_slot":
+            tree[key] = np.stack(arrs)
+            continue
+        width = n_tips if key.startswith("tip") else e_max
+        padded = []
+        for a, p in zip(arrs, preps):
+            out = _pad(a, (a.shape[0], width), fill)
+            if key == "tip_perm":
+                # Padded tips read a padded (all-N) alignment row.
+                out[:, a.shape[1]:] = n_msa_rows - 1
+            padded.append(out)
+        tree[key] = np.stack(padded)
+
+    # Re-point per-family sink slots at the batch-wide sink.
+    for f, p in enumerate(preps):
+        own_sink = p[3] - 1
+        if own_sink != sink:
+            for key in ("edge_child", "edge_parent"):
+                body = tree[key][f]
+                body[body == own_sink] = sink
+            tp = tree["tip_parent"][f]
+            tp[tp == own_sink] = sink
+
+    eig = jax.tree.map(
+        lambda *xs: np.stack(xs), *[p[1] for p in preps])
+    rates = np.stack([p[2] for p in preps])
+    pi = np.stack([t.samples.pi for t in tasks])
+    return trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates, \
+        n_slots
+
+
+def run_repertoire(
+    tasks: List[FamilyTask],
+    num_rates: int = 4,
+    seed: int = 0,
+    mesh=None,
+    dtype=jnp.float64,
+) -> List[FamilyResult]:
+    """Run many families; buckets execute as stacked vmapped steps."""
+    buckets: Dict[Tuple, List[int]] = {}
+    for i, t in enumerate(tasks):
+        buckets.setdefault(_bucket_key(t.hmm), []).append(i)
+
+    results: List[Optional[FamilyResult]] = [None] * len(tasks)
+    key = jax.random.PRNGKey(seed)
+    for bkey, idxs in buckets.items():
+        heavy = bkey[0]
+        group = [tasks[i] for i in idxs]
+        (trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates,
+         n_slots) = _stack_bucket(group, num_rates, dtype)
+
+        def to_dev(a):
+            a = np.asarray(a)
+            return jnp.asarray(a, dtype) if np.issubdtype(
+                a.dtype, np.floating) else jnp.asarray(a)
+
+        args = jax.tree.map(
+            to_dev, (trans, consts, xmsa_rows, naive_bases, tree, eig, pi,
+                     rates))
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, len(group))
+
+        if mesh is not None:
+            args = shard_family_batch(mesh, *args, keys)
+        else:
+            args = (*args, keys)
+
+        step = jax.jit(multi_family_step,
+                       static_argnames=("heavy", "n_slots"))
+        loglik, path = step(*args, heavy=heavy, n_slots=n_slots)
+        loglik = np.asarray(loglik)
+        path = jax.tree.map(np.asarray, path)
+
+        for f, i in enumerate(idxs):
+            task = tasks[i]
+            T = task.samples.n_samples
+            anns = []
+            for t in range(T):
+                heavy_f = task.hmm.space.is_heavy
+                anns.append(task.hmm._decode(
+                    jax.tree.map(lambda a: a[f], path), t))
+            results[i] = FamilyResult(
+                loglik=loglik[f, :T],
+                logweight=loglik[f, :T] - task.samples.rb_loglik,
+                annotations=anns,
+            )
+    return results

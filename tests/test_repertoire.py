@@ -1,0 +1,63 @@
+"""Repertoire-scale multi-family execution: padding/bucketing conformance
+and mesh sharding."""
+
+import jax
+import numpy as np
+import pytest
+
+from linearham_tpu.io.trees_tsv import load_tree_samples
+from linearham_tpu.models.phylo_hmm import PhyloHMM
+from linearham_tpu.parallel.mesh import make_mesh
+from linearham_tpu.parallel.repertoire import (
+    FamilyTask,
+    run_repertoire,
+)
+from linearham_tpu.pipeline.run import run_pipeline_arrays
+
+from test_pipeline import _make_tsv
+
+
+@pytest.fixture(scope="module")
+def tasks(fixtures_dir, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("rep")
+    out = []
+    specs = [
+        ("phylo_hmm_input.yaml", "hmm_params", 11),
+        ("phylo_hmm_input_extra.yaml", "hmm_params", 12),
+        ("phylo_hmm_input.yaml", "hmm_params", 13),
+        ("phylo_hmm_input_igk.yaml", "igk_hmm_params", 14),
+    ]
+    for i, (input_name, params, seed) in enumerate(specs):
+        tsv = tmp / f"trees_{i}.tsv"
+        _make_tsv(tsv, n_rows=4, seed=seed)
+        hmm = PhyloHMM(str(fixtures_dir / input_name), 0,
+                       str(fixtures_dir / params), seed=0)
+        out.append(FamilyTask(hmm=hmm, samples=load_tree_samples(str(tsv))))
+    return out
+
+
+def test_repertoire_matches_per_family(tasks):
+    results = run_repertoire(tasks, num_rates=4, seed=0)
+    assert len(results) == len(tasks)
+    for task, res in zip(tasks, results):
+        single = run_pipeline_arrays(task.hmm, task.samples, num_rates=4,
+                                     seed=0)
+        np.testing.assert_allclose(res.loglik, single.lh_loglik, rtol=1e-9)
+        np.testing.assert_allclose(res.logweight, single.logweight,
+                                   rtol=1e-9)
+        assert len(res.annotations) == task.samples.n_samples
+        for ann in res.annotations:
+            assert len(ann.naive_seq) == 15
+
+
+def test_repertoire_on_device_mesh(tasks):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    # The two base-fixture families share one bucket of 2; shard it over a
+    # (2 fam, 2 trees) mesh.
+    mesh = make_mesh(2, 2)
+    pair = [tasks[0], tasks[2]]
+    sharded = run_repertoire(pair, num_rates=4, seed=0, mesh=mesh)
+    unsharded = run_repertoire(pair, num_rates=4, seed=0)
+    for a, b in zip(sharded, unsharded):
+        np.testing.assert_allclose(a.loglik, b.loglik, rtol=1e-12)
