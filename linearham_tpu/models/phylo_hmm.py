@@ -87,8 +87,7 @@ def region_emissions(site_loglik: jnp.ndarray, consts: dict,
     return emis
 
 
-def phylo_step(
-    trans: Dict[str, jnp.ndarray],
+def phylo_emissions(
     consts: dict,
     xmsa_rows: jnp.ndarray,      # [n_rows, X] int codes (naive row 0)
     naive_bases: jnp.ndarray,    # [X]
@@ -96,13 +95,13 @@ def phylo_step(
     eig,                         # GTREigen with [T, ...] leading axis
     pi: jnp.ndarray,             # [T, 4]
     rates: jnp.ndarray,          # [T, R]
-    key: Optional[jnp.ndarray],
     heavy: bool,
     n_slots: int,
 ):
-    """One fused pipeline step over a tree batch.
+    """Pruning + naive-prior correction + emission gathers.
 
-    Returns (loglik [T], xmsa emission [T, X], sampled path or None).
+    Returns (emission dict for the forward pass, corrected site log-liks
+    [T, X]).
     """
 
     def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild, eparent,
@@ -127,11 +126,53 @@ def phylo_step(
     )
     site_ll_corr = site_ll - jnp.where(naive_bases[None, :] < 4,
                                        naive_log_pi, 0.0)
+    return region_emissions(site_ll_corr, consts, heavy), site_ll_corr
 
-    emis = region_emissions(site_ll_corr, consts, heavy)
+
+def phylo_step(
+    trans: Dict[str, jnp.ndarray],
+    consts: dict,
+    xmsa_rows: jnp.ndarray,
+    naive_bases: jnp.ndarray,
+    tree: dict,
+    eig,
+    pi: jnp.ndarray,
+    rates: jnp.ndarray,
+    key: Optional[jnp.ndarray],
+    heavy: bool,
+    n_slots: int,
+):
+    """One fused pipeline step over a tree batch.
+
+    Returns (loglik [T], xmsa emission [T, X], sampled path or None).
+    """
+    emis, site_ll_corr = phylo_emissions(
+        consts, xmsa_rows, naive_bases, tree, eig, pi, rates, heavy,
+        n_slots)
     loglik, cache = forward(trans, emis, heavy)
     path = sample_path(key, trans, cache, heavy) if key is not None else None
     return loglik, jnp.exp(site_ll_corr), path
+
+
+def phylo_map_step(
+    trans: Dict[str, jnp.ndarray],
+    consts: dict,
+    xmsa_rows: jnp.ndarray,
+    naive_bases: jnp.ndarray,
+    tree: dict,
+    eig,
+    pi: jnp.ndarray,
+    rates: jnp.ndarray,
+    heavy: bool,
+    n_slots: int,
+):
+    """Viterbi variant: returns (MAP joint log-prob [T], MAP path)."""
+    from linearham_tpu.ops.viterbi import viterbi
+
+    emis, _ = phylo_emissions(
+        consts, xmsa_rows, naive_bases, tree, eig, pi, rates, heavy,
+        n_slots)
+    return viterbi(trans, emis, heavy)
 
 
 @dataclass
@@ -258,6 +299,24 @@ class PhyloHMM:
         self._key, subkey = jax.random.split(self._key)
         path = self._run(sample_key=subkey)
         return self._decode(path, 0)
+
+    def map_annotation(self) -> Annotation:
+        """The MAP (Viterbi) V(D)J annotation under the current tree."""
+        p = self.params
+        tb = self._tree_batch
+        T = tb.n_trees
+        pi = jnp.asarray([p.pi] * T, self._dtype)
+        rates = jnp.asarray([p.rates] * T, self._dtype)
+        eig = gtr_eigen([p.er] * T, [p.pi] * T)
+        score, path = jax.jit(
+            phylo_map_step, static_argnames=("heavy", "n_slots")
+        )(
+            self._trans, self._consts, self._xmsa_rows, self._naive_bases,
+            self._device_tree(tb), eig, pi, rates,
+            heavy=self.space.is_heavy, n_slots=tb.n_slots,
+        )
+        self.map_score = float(np.asarray(score)[0])
+        return self._decode(jax.tree.map(np.asarray, path), 0)
 
     def _decode(self, path: SampledPath, t: int) -> Annotation:
         heavy = self.space.is_heavy

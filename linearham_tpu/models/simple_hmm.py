@@ -71,6 +71,26 @@ class SimpleHMM:
         """Draw one posterior V(D)J path and decode it."""
         return self.sample_annotations(1)[0]
 
+    def map_annotation(self) -> Annotation:
+        """The MAP (Viterbi) V(D)J annotation."""
+        from linearham_tpu.ops.viterbi import viterbi
+
+        score, path = jax.jit(
+            viterbi, static_argnames=("heavy",)
+        )(self._trans, self._emis, heavy=self.space.is_heavy)
+        self.map_score = float(np.asarray(score)[0])
+        path = jax.tree.map(np.asarray, path)
+        heavy = self.space.is_heavy
+        return decode_path(
+            self.space,
+            vgerm_idx=int(path.vgerm_idx[0]),
+            vd_idx=path.vd_idx[0],
+            dgerm_idx=int(path.dgerm_idx[0]) if heavy else None,
+            dj_idx=path.dj_idx[0] if heavy else None,
+            jgerm_idx=int(path.jgerm_idx[0]),
+            n_sites=self.cluster.n_sites,
+        )
+
     def sample_annotations(self, n: int) -> list:
         """Draw ``n`` posterior paths in one batched device call."""
         _, cache = self._run_forward()
