@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RevBayes output TSV file")
     p.add_argument("--output-path", required=True,
                    help="output TSV file")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage wall-clock timings to stderr")
+    p.add_argument("--trace-dir",
+                   help="write a jax.profiler trace to this directory")
     return top
 
 
@@ -113,7 +117,7 @@ def main(argv=None) -> int:
         run_pipeline(
             args.yaml_path, args.cluster_ind, args.hmm_param_dir,
             args.input_path, args.output_path, args.num_rates,
-            seed=args.seed,
+            seed=args.seed, profile=args.profile, trace_dir=args.trace_dir,
         )
     return 0
 

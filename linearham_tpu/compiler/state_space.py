@@ -22,8 +22,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-import numpy as np
-
 from linearham_tpu.io.germline import GermlineGene
 
 Range = Tuple[int, int]

@@ -21,9 +21,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from linearham_tpu.compiler.state_space import (
-    GermlineRegion,
     JunctionRegion,
-    PaddingRegion,
     StateSpace,
 )
 

@@ -15,10 +15,9 @@ is a plain dataclass of arrays intended to feed the numpy "HMM compiler"
 
 from __future__ import annotations
 
-import math
 import os
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import numpy as np
@@ -253,6 +252,98 @@ def load_gene(path: str, gtype: str) -> GermlineGene:
     if gtype in ("V", "J"):
         _parse_npadding(root, gg)
     return gg
+
+
+def _mangle(name: str) -> str:
+    return name.replace("*", "_star_").replace("/", "_slash_")
+
+
+def write_gene_yaml(gene: GermlineGene) -> str:
+    """Render a GermlineGene back into the partis HMM YAML contract.
+
+    Inverse of load_gene; used to materialize synthetic gene sets as real
+    parameter directories (all probability maps sum to 1 by construction).
+    """
+    mangled = _mangle(gene.name)
+    A, L = len(gene.alphabet), gene.length
+
+    def prob_map(d: dict) -> str:
+        items = ", ".join(f"{k}: {float(v)!r}" for k, v in d.items()
+                          if float(v) != 0.0)
+        return "{" + items + "}"
+
+    def emission_map(col) -> str:
+        return "{" + ", ".join(
+            f"{b}: {float(col[i])!r}" for i, b in enumerate(gene.alphabet)
+        ) + "}"
+
+    lines = [f"extras: {{gene_prob: {gene.gene_prob!r}}}",
+             f"name: {mangled}", "states:"]
+
+    def state(sname, emis, extras, trans):
+        if emis is None:
+            lines.append("- emissions: null")
+        else:
+            lines.append("- emissions:")
+            lines.append(f"    probs: {emis}")
+            lines.append("    track: nukes")
+        lines.append(f"  extras: {extras}")
+        lines.append(f"  name: {sname}")
+        lines.append(f"  transitions: {prob_map(trans)}")
+
+    init_trans = {f"{mangled}_{i}": p
+                  for i, p in enumerate(gene.landing_in) if p != 0}
+    if gene.gtype == "V":
+        init_trans["insert_left_N"] = gene.n_transition
+    else:
+        for i, b in enumerate(gene.alphabet):
+            init_trans[f"insert_left_{b}"] = gene.nti_landing_in[i]
+    state("init", None, "{}", init_trans)
+
+    if gene.gtype == "V":
+        flat = "{" + ", ".join(f"{b}: 0.25" for b in gene.alphabet) + "}"
+        state("insert_left_N", flat,
+              "{ambiguous_emission_prob: 0.25, germline: N}", init_trans)
+    else:
+        for bi, b in enumerate(gene.alphabet):
+            trans = {f"{mangled}_{i}": p
+                     for i, p in enumerate(gene.nti_landing_out[bi])
+                     if p != 0}
+            for bj, b2 in enumerate(gene.alphabet):
+                trans[f"insert_left_{b2}"] = gene.nti_transition[bi, bj]
+            state(f"insert_left_{b}", emission_map(gene.nti_emission[:, bi]),
+                  f"{{germline: {b}}}", trans)
+
+    for i in range(L):
+        trans = {}
+        if i < L - 1 and gene.transition[i] != 0:
+            trans[f"{mangled}_{i + 1}"] = gene.transition[i]
+        if gene.landing_out[i] != 0:
+            trans["end"] = gene.landing_out[i]
+        if gene.gtype == "J" and i == L - 1:
+            trans["insert_right_N"] = gene.n_transition
+        state(f"{mangled}_{i}", emission_map(gene.emission[:, i]),
+              f"{{germline: {gene.alphabet[gene.bases[i]]}}}", trans)
+
+    if gene.gtype == "J":
+        flat = "{" + ", ".join(f"{b}: 0.25" for b in gene.alphabet) + "}"
+        state("insert_right_N", flat,
+              "{ambiguous_emission_prob: 0.25, germline: N}",
+              {"end": 1.0 - gene.n_transition,
+               "insert_right_N": gene.n_transition})
+
+    lines.append("tracks:")
+    lines.append("  nukes: [" + ", ".join(gene.alphabet) + "]")
+    return "\n".join(lines) + "\n"
+
+
+def write_gene_dir(genes: Dict[str, GermlineGene], out_dir: str) -> None:
+    """Materialize a gene map as a partis HMM parameter directory."""
+    os.makedirs(out_dir, exist_ok=True)
+    for gene in genes.values():
+        path = os.path.join(out_dir, _mangle(gene.name) + ".yaml")
+        with open(path, "w") as fh:
+            fh.write(write_gene_yaml(gene))
 
 
 def load_gene_map(hmm_param_dir: str) -> Dict[str, GermlineGene]:

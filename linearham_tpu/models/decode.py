@@ -12,8 +12,6 @@ import re
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
-import numpy as np
-
 from linearham_tpu.compiler.state_space import (
     GermlineRegion,
     JunctionRegion,

@@ -28,8 +28,6 @@ contributes exactly 1).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

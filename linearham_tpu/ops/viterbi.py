@@ -8,7 +8,7 @@ worth having next to it (same tensors, same decode vocabulary).
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ parallelism.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -38,6 +38,7 @@ class PipelineResult:
     lh_loglik: np.ndarray        # [T]
     logweight: np.ndarray        # [T]
     annotations: List[Annotation]
+    timings: Optional[dict] = None  # stage -> seconds
 
 
 def _chunk_pad(arrs, start, size, total):
@@ -80,45 +81,56 @@ def run_pipeline_arrays(
     num_rates: int,
     seed: int = 0,
     chunk_size: int = 256,
+    trace_dir: Optional[str] = None,
 ) -> PipelineResult:
     """Run the full ensemble through the fused device step."""
+    from linearham_tpu.utils.profiling import StageTimer, maybe_trace
+
+    timer = StageTimer()
     T = samples.n_samples
     chunk_size = min(chunk_size, T)
 
     dtype = hmm._dtype
-    dev_tree_full, eig_full, rates, n_slots = prepare_ensemble(
-        hmm, samples, num_rates)
+    with timer.stage("host_prepare"):
+        dev_tree_full, eig_full, rates, n_slots = prepare_ensemble(
+            hmm, samples, num_rates)
 
     step = jax.jit(phylo_step, static_argnames=("heavy", "n_slots"))
     key = jax.random.PRNGKey(seed)
 
     logliks = np.zeros(T)
     paths = []
-    for start in range(0, T, chunk_size):
-        key, subkey = jax.random.split(key)
-        tree_c = {
-            k: jnp.asarray(_chunk_pad([v], start, chunk_size, T)[0])
-            for k, v in dev_tree_full.items()
-        }
-        eig_c = jax.tree.map(
-            lambda a: jnp.asarray(
-                _chunk_pad([np.asarray(a)], start, chunk_size, T)[0], dtype),
-            eig_full,
-        )
-        pi_c, rates_c = (
-            jnp.asarray(x, dtype) for x in
-            _chunk_pad([samples.pi, rates], start, chunk_size, T)
-        )
-        loglik_c, _, path_c = step(
-            hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
-            tree_c, eig_c, pi_c, rates_c, subkey,
-            heavy=hmm.space.is_heavy, n_slots=n_slots,
-        )
-        n_valid = min(chunk_size, T - start)
-        logliks[start:start + n_valid] = np.asarray(loglik_c)[:n_valid]
-        path_np = jax.tree.map(np.asarray, path_c)
-        for t in range(n_valid):
-            paths.append(hmm._decode(path_np, t))
+    with maybe_trace(trace_dir):
+        for start in range(0, T, chunk_size):
+            key, subkey = jax.random.split(key)
+            with timer.stage("device_transfer"):
+                tree_c = {
+                    k: jnp.asarray(_chunk_pad([v], start, chunk_size, T)[0])
+                    for k, v in dev_tree_full.items()
+                }
+                eig_c = jax.tree.map(
+                    lambda a: jnp.asarray(
+                        _chunk_pad([np.asarray(a)], start, chunk_size, T)[0],
+                        dtype),
+                    eig_full,
+                )
+                pi_c, rates_c = (
+                    jnp.asarray(x, dtype) for x in
+                    _chunk_pad([samples.pi, rates], start, chunk_size, T)
+                )
+            with timer.stage("device_step"):
+                loglik_c, _, path_c = step(
+                    hmm._trans, hmm._consts, hmm._xmsa_rows,
+                    hmm._naive_bases, tree_c, eig_c, pi_c, rates_c, subkey,
+                    heavy=hmm.space.is_heavy, n_slots=n_slots,
+                )
+                jax.block_until_ready(loglik_c)
+            n_valid = min(chunk_size, T - start)
+            logliks[start:start + n_valid] = np.asarray(loglik_c)[:n_valid]
+            with timer.stage("decode"):
+                path_np = jax.tree.map(np.asarray, path_c)
+                for t in range(n_valid):
+                    paths.append(hmm._decode(path_np, t))
 
     return PipelineResult(
         samples=samples,
@@ -126,6 +138,7 @@ def run_pipeline_arrays(
         lh_loglik=logliks,
         logweight=logliks - samples.rb_loglik,
         annotations=paths,
+        timings=timer.as_dict(),
     )
 
 
@@ -180,12 +193,23 @@ def run_pipeline(
     num_rates: int,
     seed: int = 0,
     chunk_size: int = 256,
+    profile: bool = False,
+    trace_dir: Optional[str] = None,
 ) -> PipelineResult:
     """End-to-end: partis YAML + RevBayes TSV -> linearham output TSV."""
     hmm = PhyloHMM(yaml_path, cluster_ind, hmm_param_dir, seed=seed)
     samples = load_tree_samples(input_path)
     result = run_pipeline_arrays(hmm, samples, num_rates, seed=seed,
-                                 chunk_size=chunk_size)
+                                 chunk_size=chunk_size,
+                                 trace_dir=trace_dir)
     with open(output_path, "w") as fh:
         write_output_tsv(result, hmm.space.is_heavy, fh)
+    if profile and result.timings:
+        import sys
+
+        total = sum(result.timings.values())
+        print(f"# pipeline timings ({samples.n_samples} trees, "
+              f"{total * 1e3:.0f}ms total):", file=sys.stderr)
+        for k, v in result.timings.items():
+            print(f"#   {k}: {v * 1e3:.1f}ms", file=sys.stderr)
     return result

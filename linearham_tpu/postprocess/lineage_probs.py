@@ -14,8 +14,6 @@ from collections import Counter, OrderedDict
 from itertools import groupby
 from typing import Dict, List
 
-import numpy as np
-
 from linearham_tpu.io.annotated_newick import parse_annotated_newick
 from linearham_tpu.utils.seqs import read_fasta, translate, write_fasta
 

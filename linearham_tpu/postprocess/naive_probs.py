@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections import Counter, OrderedDict
 from itertools import groupby
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from linearham_tpu.io.annotated_newick import parse_annotated_newick
 from linearham_tpu.utils.seqs import translate, write_fasta

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Dict, Iterable, Tuple
+from typing import Dict
 
 _CODON_TABLE = {}
 

@@ -27,15 +27,32 @@ def _emission_matrix(rng, bases: np.ndarray, fidelity=0.92) -> np.ndarray:
 
 
 def _make_gene(rng, name: str, gtype: str, length: int) -> GermlineGene:
+    """One synthetic gene with properly normalized probability maps.
+
+    Invariants kept (so the gene roundtrips through the partis YAML
+    ingestion contract): landing_in (+N-padding / NTI entry mass) sums to
+    1; per-position continue + exit sums to 1; NTI rows sum to 1; a J
+    gene's last position exits with 1 - n_transition (the rest enters the
+    right N-padding).
+    """
     bases = rng.integers(0, 4, size=length).astype(np.int32)
-    landing_in = np.zeros(length)
     n_entry = min(4, length)
-    landing_in[:n_entry] = rng.dirichlet([3.0] + [1.0] * (n_entry - 1))
-    landing_out = np.zeros(length)
     n_exit = min(5, length)
-    landing_out[-n_exit:] = np.linspace(0.05, 0.9, n_exit)
-    landing_out[-1] = 1.0
-    transition = np.clip(1.0 - landing_out[:-1], 1e-3, 1.0)
+    n_self = 0.9 if gtype in ("V", "J") else None
+
+    landing_in = np.zeros(length)
+    if gtype == "V":
+        # The N-padding contract pins V entry to position 0: init (and
+        # insert_left_N) may only transition to V_0 / insert_left_N.
+        landing_in[0] = 1.0 - n_self
+    else:
+        landing_in[:n_entry] = rng.dirichlet(
+            [3.0] + [1.0] * (n_entry - 1)) * 0.5
+
+    landing_out = np.zeros(length)
+    landing_out[-n_exit:-1] = np.linspace(0.05, 0.6, n_exit - 1)
+    landing_out[-1] = (1.0 - n_self) if gtype == "J" else 1.0
+    transition = 1.0 - landing_out[:-1]
 
     gene = GermlineGene(
         name=name, gtype=gtype, alphabet=ALPHABET,
@@ -46,17 +63,16 @@ def _make_gene(rng, name: str, gtype: str, length: int) -> GermlineGene:
         bases=bases,
     )
     if gtype in ("D", "J"):
-        gene.nti_landing_in = rng.dirichlet([2.0] * 4)
+        gene.nti_landing_in = rng.dirichlet([2.0] * 4) * 0.5
         nlo = np.zeros((4, length))
         nlo[:, :n_entry] = np.tile(
             rng.dirichlet([2.0] * n_entry) * 0.6, (4, 1))
         gene.nti_landing_out = nlo
-        self_mass = 1.0 - nlo.sum(1, keepdims=True)
-        gene.nti_transition = (
-            np.tile(rng.dirichlet([2.0] * 4), (4, 1)) * self_mass)
+        gene.nti_transition = np.tile(
+            rng.dirichlet([2.0] * 4) * 0.4, (4, 1))
         gene.nti_emission = np.full((4, 4), 0.05) + np.eye(4) * 0.8
     if gtype in ("V", "J"):
-        gene.n_transition = 0.9
+        gene.n_transition = n_self
         gene.n_emission = np.full(4, 0.25)
     return gene
 
