@@ -52,32 +52,48 @@ def main() -> int:
     eig_dev = jax.tree.map(to_dev, eig)
     pi_dev, rates_dev = to_dev(samples.pi), to_dev(rates)
 
-    step = jax.jit(phylo_step, static_argnames=("heavy", "n_slots"))
+    # Remote-device caveat: block_until_ready does NOT synchronize on the
+    # axon tunnel, and any host read pays a fixed round-trip.  So: run K
+    # chained steps inside ONE jitted call (a loop-carried perturbation
+    # forces a real data dependency between iterations, preventing XLA
+    # from hoisting the tree-independent work), read one scalar, divide.
+    K = int(os.environ.get("BENCH_CHAIN", "16"))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chained(key, tree, k):
+        def body(carry, subkey):
+            acc = carry
+            tree_k = dict(tree)
+            # No-op numerically (1 + x*1e-30 == 1 in f32) but opaque to XLA.
+            tree_k["edge_length"] = tree["edge_length"] * (1 + acc * 1e-30)
+            loglik, _, path = phylo_step(
+                hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
+                tree_k, eig_dev, pi_dev, rates_dev, subkey,
+                heavy=True, n_slots=n_slots,
+            )
+            return acc + loglik.sum() + path.jgerm_idx.sum(), loglik
+        keys = jax.random.split(key, k)
+        acc, logliks = jax.lax.scan(body, jnp.zeros((), jnp.float32), keys)
+        return acc, logliks[-1]
+
     key = jax.random.PRNGKey(0)
-
-    def run(k):
-        loglik, _, path = step(
-            hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
-            tree_dev, eig_dev, pi_dev, rates_dev, k,
-            heavy=True, n_slots=n_slots,
-        )
-        return loglik, path
-
     t0 = time.perf_counter()
-    loglik, _ = run(key)
-    loglik.block_until_ready()
+    acc, loglik = chained(key, tree_dev, K)
+    float(acc)  # host read = true sync
     compile_s = time.perf_counter() - t0
 
     times = []
     for i in range(reps):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        loglik, path = run(sub)
-        jax.block_until_ready((loglik, path))
-        times.append(time.perf_counter() - t0)
+        acc, loglik = chained(sub, tree_dev, K)
+        float(acc)
+        times.append((time.perf_counter() - t0) / K)
 
     times.sort()
-    best = times[len(times) // 2]   # median: remote-tunnel timing is noisy
+    best = times[len(times) // 2]   # median per-step time
     trees_per_sec = n_trees / best
     result = {
         "metric": "posterior_tree_pipeline_steps_per_sec_per_chip",
@@ -88,8 +104,8 @@ def main() -> int:
     print(json.dumps(result))
     print(
         f"# n_trees={n_trees} n_seqs={n_seqs} sites={fam.n_sites} "
-        f"xmsa_cols={hmm.xmsa.n_cols} median={best * 1e3:.2f}ms "
-        f"times_ms={[round(t * 1e3, 2) for t in times]} "
+        f"xmsa_cols={hmm.xmsa.n_cols} chain={K} median={best * 1e3:.2f}ms "
+        f"times_ms={[round(t * 1e3, 3) for t in times]} "
         f"compile={compile_s:.1f}s host_prep={host_prep_s:.2f}s "
         f"device={jax.devices()[0].device_kind} "
         f"mean_loglik={float(loglik.mean()):.2f}",

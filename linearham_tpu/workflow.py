@@ -68,6 +68,51 @@ class Workflow:
             raise RuntimeError(f"step {name} did not produce {missing}")
 
 
+def run_partis(
+    outdir: str,
+    fasta_path: str,
+    partis_binary: str,
+    locus: str = "igh",
+    parameter_dir: Optional[str] = None,
+    all_clonal_seqs: bool = False,
+    extra_args: Optional[List[str]] = None,
+) -> str:
+    """Invoke partis partition with linearham-info (external engine).
+
+    Mirrors the reference's partis step contract (SConstruct:296-311):
+    ``partis partition --extra-annotation-columns linearham-info``.
+    Returns the partis output YAML path.
+    """
+    out_yaml = os.path.join(outdir, "partis_run.yaml")
+    cmd = [
+        partis_binary, "partition",
+        "--infname", fasta_path,
+        "--locus", locus,
+        "--extra-annotation-columns", "linearham-info",
+        "--outfname", out_yaml,
+    ]
+    if parameter_dir:
+        cmd += ["--parameter-dir", parameter_dir]
+    if all_clonal_seqs:
+        cmd += ["--all-seqs-simultaneous"]
+    cmd += extra_args or []
+    subprocess.run(cmd, check=True)
+    return out_yaml
+
+
+def run_get_linearham_info(partis_yaml_file: str, partis_binary: str,
+                           out_path: str) -> str:
+    """``partis get-linearham-info`` for a pre-existing partis file
+    (reference: SConstruct:318-336)."""
+    subprocess.run(
+        [partis_binary, "get-linearham-info",
+         "--input-metafnames", partis_yaml_file,
+         "--outfname", out_path],
+        check=True,
+    )
+    return out_path
+
+
 def run_family_workflow(
     outdir: str,
     partis_yaml_file: str,
@@ -192,22 +237,57 @@ def run_family_workflow(
             )
 
 
+def _int_list(text: str) -> List[int]:
+    return [int(x) for x in str(text).split(",")]
+
+
+def run_workflow_grid(base_outdir: str, grid: dict, fixed: dict) -> None:
+    """Cartesian fan-out over multi-valued MCMC parameters.
+
+    Mirrors the reference's nestly behavior (SConstruct:386-399): each
+    combination gets a nested output directory named by its values, e.g.
+    ``mcmc_iter_10000/mcmc_thin_10/``.
+    """
+    import itertools
+
+    keys = [k for k, v in grid.items() if len(v) > 1]
+    combos = list(itertools.product(*grid.values()))
+    for combo in combos:
+        sub = base_outdir
+        params = dict(zip(grid.keys(), combo))
+        for k in keys:
+            sub = os.path.join(sub, f"{k}_{params[k]}")
+        run_family_workflow(sub, **params, **fixed)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="linearham-tpu-workflow",
         description="Run the full linearham workflow for one family.",
     )
     p.add_argument("--outdir", required=True)
-    p.add_argument("--partis-yaml-file", required=True)
-    p.add_argument("--hmm-param-dir", required=True)
+    p.add_argument("--partis-yaml-file",
+                   help="partis output with linearham-info (or use "
+                        "--fasta-path with --partis-binary)")
+    p.add_argument("--fasta-path",
+                   help="input sequences; runs partis when given with "
+                        "--partis-binary")
+    p.add_argument("--partis-binary", help="partis executable (external)")
+    p.add_argument("--locus", default="igh")
+    p.add_argument("--parameter-dir",
+                   help="partis parameter dir (hmm params live under "
+                        "<dir>/hmm/hmms)")
+    p.add_argument("--all-clonal-seqs", action="store_true")
+    p.add_argument("--hmm-param-dir")
     p.add_argument("--cluster-index", type=int)
     p.add_argument("--partition-index", type=int)
     p.add_argument("--seed-unique-id")
-    p.add_argument("--mcmc-iter", type=int, default=10000)
-    p.add_argument("--mcmc-thin", type=int, default=10)
-    p.add_argument("--tune-iter", type=int, default=5000)
-    p.add_argument("--tune-thin", type=int, default=100)
-    p.add_argument("--num-rates", type=int, default=4)
+    # Multi-valued (comma-separated) parameters fan out into nested dirs.
+    p.add_argument("--mcmc-iter", type=_int_list, default=[10000])
+    p.add_argument("--mcmc-thin", type=_int_list, default=[10])
+    p.add_argument("--tune-iter", type=_int_list, default=[5000])
+    p.add_argument("--tune-thin", type=_int_list, default=[100])
+    p.add_argument("--num-rates", type=_int_list, default=[4])
     p.add_argument("--burnin-frac", type=float, default=0.1)
     p.add_argument("--subsamp-frac", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
@@ -216,19 +296,47 @@ def main(argv=None) -> int:
     p.add_argument("--pfilters", nargs="*", type=float, default=[0.1])
     args = p.parse_args(argv)
 
-    run_family_workflow(
-        args.outdir, args.partis_yaml_file, args.hmm_param_dir,
+    partis_yaml = args.partis_yaml_file
+    if partis_yaml is None:
+        if not (args.fasta_path and args.partis_binary):
+            raise SystemExit(
+                "error: give --partis-yaml-file, or --fasta-path with "
+                "--partis-binary to run partis here")
+        os.makedirs(args.outdir, exist_ok=True)
+        partis_yaml = run_partis(
+            args.outdir, args.fasta_path, args.partis_binary,
+            locus=args.locus, parameter_dir=args.parameter_dir,
+            all_clonal_seqs=args.all_clonal_seqs,
+        )
+
+    hmm_param_dir = args.hmm_param_dir
+    if hmm_param_dir is None:
+        if args.parameter_dir is None:
+            raise SystemExit(
+                "error: give --hmm-param-dir (or --parameter-dir, whose "
+                "hmm/hmms subdirectory is used, as in the reference)")
+        hmm_param_dir = os.path.join(args.parameter_dir, "hmm", "hmms")
+
+    grid = {
+        "mcmc_iter": args.mcmc_iter,
+        "mcmc_thin": args.mcmc_thin,
+        "tune_iter": args.tune_iter,
+        "tune_thin": args.tune_thin,
+        "num_rates": args.num_rates,
+    }
+    fixed = dict(
+        partis_yaml_file=partis_yaml,
+        hmm_param_dir=hmm_param_dir,
         cluster_index=args.cluster_index,
         partition_index=args.partition_index,
         seed_unique_id=args.seed_unique_id,
-        mcmc_iter=args.mcmc_iter, mcmc_thin=args.mcmc_thin,
-        tune_iter=args.tune_iter, tune_thin=args.tune_thin,
-        num_rates=args.num_rates, burnin_frac=args.burnin_frac,
+        burnin_frac=args.burnin_frac,
         subsamp_frac=args.subsamp_frac, seed=args.seed,
         rb_binary=args.rb_binary,
         lineage_unique_ids=args.lineage_unique_ids,
         pfilters=args.pfilters,
     )
+    run_workflow_grid(args.outdir, grid, fixed)
     return 0
 
 

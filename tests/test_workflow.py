@@ -71,3 +71,31 @@ def test_workflow_missing_external_artifact(fixtures_dir, tmp_path):
             partis_yaml_file=str(fixtures_dir / "phylo_hmm_input.yaml"),
             hmm_param_dir=str(fixtures_dir / "hmm_params"),
         )
+
+
+def test_workflow_grid_fanout(fixtures_dir, tmp_path):
+    from linearham_tpu.workflow import run_workflow_grid
+    base = tmp_path / "grid"
+    for combo_dir in ("mcmc_iter_10/num_rates_2", "mcmc_iter_10/num_rates_4",
+                      "mcmc_iter_20/num_rates_2", "mcmc_iter_20/num_rates_4"):
+        d = base / combo_dir
+        d.mkdir(parents=True)
+        _make_tsv(d / "revbayes_run.trees", n_rows=4, seed=4)
+
+    run_workflow_grid(
+        str(base),
+        grid={"mcmc_iter": [10, 20], "mcmc_thin": [1],
+              "tune_iter": [0], "tune_thin": [1], "num_rates": [2, 4]},
+        fixed=dict(
+            partis_yaml_file=str(fixtures_dir / "phylo_hmm_input.yaml"),
+            hmm_param_dir=str(fixtures_dir / "hmm_params"),
+            burnin_frac=0.0, subsamp_frac=0.5, seed=0,
+        ),
+    )
+    for combo_dir in ("mcmc_iter_10/num_rates_2", "mcmc_iter_20/num_rates_4"):
+        assert (base / combo_dir / "linearham_run.trees").exists()
+        # num_rates propagates into the pipeline TSV sr columns
+        header = (base / combo_dir / "lh_revbayes_run.trees").read_text()\
+            .split("\n")[0]
+        n_sr = sum(1 for c in header.split("\t") if c.startswith("sr["))
+        assert n_sr == int(combo_dir.rsplit("_", 1)[1])
