@@ -32,6 +32,24 @@ from linearham_tpu.ops.pruning import site_log_likelihoods
 NEG_INF = -np.inf
 
 
+def _use_pallas_pruning(dtype) -> bool:
+    """Pick the pruning backend: the Pallas TPU kernel or the jnp path.
+
+    LINEARHAM_PRUNING_IMPL=pallas|xla forces a backend; the default 'auto'
+    uses the kernel on TPU in f32 (the production configuration) and the
+    jnp path everywhere else (CPU conformance runs in f64, the multichip
+    CPU dryrun, interpret-free debugging).
+    """
+    import os
+
+    mode = os.environ.get("LINEARHAM_PRUNING_IMPL", "auto")
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    return jax.default_backend() == "tpu" and dtype == jnp.float32
+
+
 def _gather_consts(space, xmsa: Xmsa, dtype):
     """Device constants for turning site log-liks into region emissions."""
     consts = {}
@@ -104,19 +122,31 @@ def phylo_emissions(
     [T, X]).
     """
 
-    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild, eparent,
-                 elen, root):
-        tips = xmsa_rows[perm]                    # [n_tips, X]
-        return site_log_likelihoods(
-            eig_t, pi_t, rates_t, tips, tparent, tlen,
-            echild, eparent, elen, root, n_slots,
+    if _use_pallas_pruning(eig.u.dtype):
+        from linearham_tpu.ops.pruning_pallas import (
+            site_log_likelihoods_pallas,
         )
 
-    site_ll = jax.vmap(per_tree)(
-        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
-        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
-        tree["edge_length"], tree["root_slot"],
-    )                                             # [T, X]
+        tip_codes = jnp.take(xmsa_rows, tree["tip_perm"], axis=0)
+        site_ll = site_log_likelihoods_pallas(
+            eig, pi, rates, tip_codes, tree["tip_parent"],
+            tree["tip_length"], tree["edge_child"], tree["edge_parent"],
+            tree["edge_length"], tree["root_slot"], n_slots=n_slots,
+        )                                         # [T, X]
+    else:
+        def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
+                     eparent, elen, root):
+            tips = xmsa_rows[perm]                # [n_tips, X]
+            return site_log_likelihoods(
+                eig_t, pi_t, rates_t, tips, tparent, tlen,
+                echild, eparent, elen, root, n_slots,
+            )
+
+        site_ll = jax.vmap(per_tree)(
+            eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
+            tree["tip_length"], tree["edge_child"], tree["edge_parent"],
+            tree["edge_length"], tree["root_slot"],
+        )                                         # [T, X]
 
     # Divide out the naive prior at unambiguous naive sites.
     naive_log_pi = jnp.log(

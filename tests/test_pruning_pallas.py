@@ -1,0 +1,89 @@
+"""Pallas pruning kernel vs the jnp reference path (interpret mode on CPU).
+
+The kernel itself runs compiled only on TPU (exercised by bench.py and the
+driver's compile checks); here it runs under the Pallas interpreter against
+``ops.pruning.site_log_likelihoods`` on a synthetic tree ensemble, so the
+numerics contract (treatAmbiguousAsGap N handling, padded sink edges,
+per-slot renormalization, rate mixing) is pinned on every platform.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linearham_tpu.models.phylo_hmm import PhyloHMM
+from linearham_tpu.ops.pruning import site_log_likelihoods
+from linearham_tpu.ops.pruning_pallas import site_log_likelihoods_pallas
+from linearham_tpu.pipeline.run import prepare_ensemble
+from linearham_tpu.utils.synth import make_family, make_tree_samples
+
+
+@pytest.fixture(scope="module")
+def ensemble():
+    fam = make_family(n_seqs=5, seed=3)
+    hmm = PhyloHMM.from_parts(
+        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
+        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
+    )
+    samples = make_tree_samples(fam, 9, seed=3)   # odd T: exercises padding
+    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 4)
+
+    def to_dev(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating):
+            return jnp.asarray(a, jnp.float32)
+        return jnp.asarray(a)
+
+    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
+    eig = jax.tree.map(to_dev, eig)
+    return hmm, tree, eig, to_dev(samples.pi), to_dev(rates), n_slots
+
+
+def test_kernel_matches_jnp_path(ensemble):
+    hmm, tree, eig, pi, rates, n_slots = ensemble
+
+    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
+                 eparent, elen, root):
+        return site_log_likelihoods(
+            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
+            echild, eparent, elen, root, n_slots)
+
+    want = jax.vmap(per_tree)(
+        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
+        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
+        tree["edge_length"], tree["root_slot"])
+
+    tip_codes = jnp.take(hmm._xmsa_rows, tree["tip_perm"], axis=0)
+    got = site_log_likelihoods_pallas(
+        eig, pi, rates, tip_codes, tree["tip_parent"], tree["tip_length"],
+        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
+        tree["root_slot"], n_slots=n_slots, trees_per_block=8,
+        interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_handles_ambiguous_tips(ensemble):
+    """A tip row of all-N must contribute exactly nothing (msg == 1)."""
+    hmm, tree, eig, pi, rates, n_slots = ensemble
+    tip_codes = jnp.take(hmm._xmsa_rows, tree["tip_perm"], axis=0)
+    all_n = tip_codes.at[:, 0, :].set(4)
+
+    def per_tree(eig_t, pi_t, rates_t, tips, tparent, tlen, echild,
+                 eparent, elen, root):
+        return site_log_likelihoods(
+            eig_t, pi_t, rates_t, tips, tparent, tlen,
+            echild, eparent, elen, root, n_slots)
+
+    want = jax.vmap(per_tree)(
+        eig, pi, rates, all_n, tree["tip_parent"], tree["tip_length"],
+        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
+        tree["root_slot"])
+    got = site_log_likelihoods_pallas(
+        eig, pi, rates, all_n, tree["tip_parent"], tree["tip_length"],
+        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
+        tree["root_slot"], n_slots=n_slots, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
