@@ -30,13 +30,15 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib_checked:
         return _lib
     _lib_checked = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-s"], cwd=_NATIVE_DIR, check=True,
-                capture_output=True, timeout=120,
-            )
-        except Exception:
+    # Always invoke make: it is a no-op when the library is current and
+    # rebuilds it when a native source file is newer than the .so.
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+            capture_output=True, timeout=120,
+        )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -55,6 +57,16 @@ def _load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float64),
         ctypes.c_char_p, ctypes.c_long,
     ]
+    if hasattr(lib, "lh_parse_trees_tsv"):
+        lib.lh_parse_trees_tsv.restype = ctypes.c_int
+        lib.lh_parse_trees_tsv.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            ctypes.c_char_p, ctypes.c_long,
+        ]
     _lib = lib
     return _lib
 
@@ -125,3 +137,37 @@ def parse_newicks_batch(newicks: Sequence[str], labels: Sequence[str],
         root_slot=(n_internal - 1).astype(np.int32),
         n_slots=n_slots,
     )
+
+
+def parse_trees_tsv_bytes(data: bytes):
+    """Parse RevBayes .trees TSV bytes via the C++ kernel.
+
+    Returns (numeric [rows, 14] float64 in column order Iteration,
+    Likelihood, Prior, alpha, er[1..6], pi[1..4]; newicks list[str]), or
+    None when the native library is unavailable or lacks the symbol
+    (callers fall back to the Python csv loader).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "lh_parse_trees_tsv"):
+        return None
+
+    max_rows = max(data.count(b"\n"), 1)
+    numeric = np.zeros((max_rows, 14), np.float64)
+    tree_off = np.zeros(max_rows, np.int64)
+    tree_len = np.zeros(max_rows, np.int64)
+    n_rows = ctypes.c_long(0)
+    err = ctypes.create_string_buffer(512)
+
+    rc = lib.lh_parse_trees_tsv(
+        data, len(data), max_rows, ctypes.byref(n_rows),
+        numeric, tree_off, tree_len, err, len(err),
+    )
+    if rc != 0:
+        raise ValueError(
+            "native trees-TSV parse failed: " + err.value.decode())
+    n = n_rows.value
+    newicks = [
+        data[tree_off[i]:tree_off[i] + tree_len[i]].decode()
+        for i in range(n)
+    ]
+    return numeric[:n], newicks

@@ -50,7 +50,33 @@ class TreeSamples:
 
 
 def load_tree_samples(path: str) -> TreeSamples:
-    """Read a RevBayes output TSV; extra columns are ignored."""
+    """Read a RevBayes output TSV; extra columns are ignored.
+
+    Uses the native C++ parser when available (native/trees_tsv.cpp, the
+    analogue of the reference's vendored fast-cpp-csv-parser,
+    src/PhyloHMM.cpp:396); falls back to the Python csv module.
+    """
+    from linearham_tpu.io.native import parse_trees_tsv_bytes
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    parsed = None
+    try:
+        parsed = parse_trees_tsv_bytes(data)
+    except ValueError as exc:
+        raise ValueError(f"{path}: {exc}") from exc
+    if parsed is not None:
+        numeric, newicks = parsed
+        return TreeSamples(
+            iteration=numeric[:, 0].astype(int),
+            rb_loglik=numeric[:, 1].copy(),
+            prior=numeric[:, 2].copy(),
+            alpha=numeric[:, 3].copy(),
+            er=numeric[:, 4:10].copy(),
+            pi=numeric[:, 10:14].copy(),
+            newicks=newicks,
+        )
+
     with open(path, newline="") as fh:
         reader = csv.DictReader(fh, delimiter="\t")
         missing = [c for c in _REQUIRED if c not in (reader.fieldnames or [])]

@@ -68,6 +68,37 @@ class Workflow:
             raise RuntimeError(f"step {name} did not produce {missing}")
 
 
+def write_git_stamp(outdir: str) -> None:
+    """Reproducibility stamp: commit + describe of the framework checkout.
+
+    The reference records ``git rev-parse HEAD`` and ``git describe
+    --dirty`` into ``<outdir>/git.log`` before running anything
+    (SConstruct:231-235).  When the package is not running from a git
+    checkout, the package version is stamped instead.
+    """
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lines = []
+    for cmd in (["git", "rev-parse", "HEAD"],
+                ["git", "describe", "--dirty", "--always"]):
+        try:
+            out = subprocess.run(
+                cmd, cwd=pkg_dir, check=True, capture_output=True,
+                text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            out = None
+        if out:
+            lines.append(out)
+    if not lines:
+        import linearham_tpu
+
+        lines = ["linearham_tpu " + getattr(
+            linearham_tpu, "__version__", "unversioned")]
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "git.log"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
 def run_partis(
     outdir: str,
     fasta_path: str,
@@ -134,6 +165,7 @@ def run_family_workflow(
     indel_reversed_seqs: bool = True,
 ) -> None:
     wf = Workflow(outdir)
+    write_git_stamp(outdir)
     cluster_yaml = wf.path("cluster.yaml")
     cluster_fasta = wf.path("cluster_seqs.fasta")
     rev_file = wf.path("revbayes_run.rev")
@@ -241,22 +273,32 @@ def _int_list(text: str) -> List[int]:
     return [int(x) for x in str(text).split(",")]
 
 
-def run_workflow_grid(base_outdir: str, grid: dict, fixed: dict) -> None:
+def run_workflow_grid(base_outdir: str, grid: dict, fixed: dict,
+                      nestly_subdirs: bool = True) -> None:
     """Cartesian fan-out over multi-valued MCMC parameters.
 
     Mirrors the reference's nestly behavior (SConstruct:386-399): each
     combination gets a nested output directory named by its values, e.g.
-    ``mcmc_iter_10000/mcmc_thin_10/``.
+    ``mcmc_iter_10000/mcmc_thin_10/``.  With ``nestly_subdirs=False`` the
+    combination collapses into one flat directory name (the reference's
+    ``--no-nestly-subdirs``, SConstruct:157-160), and a single-combination
+    grid writes directly into ``base_outdir``.
     """
     import itertools
 
     keys = [k for k, v in grid.items() if len(v) > 1]
     combos = list(itertools.product(*grid.values()))
     for combo in combos:
-        sub = base_outdir
         params = dict(zip(grid.keys(), combo))
-        for k in keys:
-            sub = os.path.join(sub, f"{k}_{params[k]}")
+        if not keys:
+            sub = base_outdir
+        elif nestly_subdirs:
+            sub = base_outdir
+            for k in keys:
+                sub = os.path.join(sub, f"{k}_{params[k]}")
+        else:
+            sub = os.path.join(
+                base_outdir, "_".join(f"{k}_{params[k]}" for k in keys))
         run_family_workflow(sub, **params, **fixed)
 
 
@@ -293,6 +335,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--rb-binary", help="RevBayes executable (external)")
     p.add_argument("--lineage-unique-ids", nargs="*", default=None)
+    p.add_argument("--no-nestly-subdirs", action="store_true",
+                   help="flat one-directory-per-combination layout instead "
+                        "of nested subdirectories")
     p.add_argument("--pfilters", nargs="*", type=float, default=[0.1])
     args = p.parse_args(argv)
 
@@ -336,7 +381,8 @@ def main(argv=None) -> int:
         lineage_unique_ids=args.lineage_unique_ids,
         pfilters=args.pfilters,
     )
-    run_workflow_grid(args.outdir, grid, fixed)
+    run_workflow_grid(args.outdir, grid, fixed,
+                      nestly_subdirs=not args.no_nestly_subdirs)
     return 0
 
 

@@ -61,3 +61,65 @@ def test_native_speedup():
 
     # The native parser must beat Python comfortably (typically 30-100x).
     assert native_t < python_t / 3, (native_t, python_t)
+
+
+# --- trees TSV parser (native/trees_tsv.cpp) ------------------------------
+
+def _tsv_text(n_rows=3):
+    cols = (["Iteration", "Likelihood", "Prior", "alpha"]
+            + [f"er[{i}]" for i in range(1, 7)]
+            + [f"pi[{i}]" for i in range(1, 5)] + ["tree"])
+    lines = ["\t".join(cols)]
+    for t in range(n_rows):
+        lines.append("\t".join(
+            [str(10 * t), f"{-100 - t}.25", "-12.0", f"{0.5 + t}"]
+            + [f"{0.1 * (i + t)}" for i in range(1, 7)]
+            + ["0.2", "0.3", "0.1", "0.4"]
+            + [f'"((a:1,b:{t}):0.5,naive:0.1);"']))
+    return "\n".join(lines) + "\n"
+
+
+def test_native_tsv_matches_python_loader(tmp_path):
+    from linearham_tpu.io.native import native_available
+    from linearham_tpu.io.trees_tsv import load_tree_samples
+
+    if not native_available():  # pragma: no cover
+        pytest.skip("native library unavailable")
+
+    text = _tsv_text()
+    p = tmp_path / "revbayes_run.trees"
+    p.write_text(text)
+    native = load_tree_samples(str(p))           # native-first loader
+
+    # Python fallback, forced by parsing through the csv module directly.
+    import csv
+    rows = list(csv.DictReader(text.splitlines(), delimiter="\t"))
+    assert native.n_samples == len(rows)
+    for i, r in enumerate(rows):
+        assert native.iteration[i] == int(r["Iteration"])
+        assert native.rb_loglik[i] == float(r["Likelihood"])
+        assert native.alpha[i] == float(r["alpha"])
+        np.testing.assert_allclose(
+            native.er[i], [float(r[f"er[{j}]"]) for j in range(1, 7)])
+        np.testing.assert_allclose(
+            native.pi[i], [float(r[f"pi[{j}]"]) for j in range(1, 5)])
+        assert native.newicks[i] == r["tree"].strip().strip('"')
+
+
+def test_native_tsv_missing_column(tmp_path):
+    from linearham_tpu.io.trees_tsv import load_tree_samples
+
+    p = tmp_path / "bad.trees"
+    p.write_text("Iteration\ttree\n0\t(a,b);\n")
+    with pytest.raises(ValueError, match="Likelihood|required"):
+        load_tree_samples(str(p))
+
+
+def test_native_tsv_non_numeric(tmp_path):
+    from linearham_tpu.io.trees_tsv import load_tree_samples
+
+    text = _tsv_text(1).replace("-12.0", "oops")
+    p = tmp_path / "bad2.trees"
+    p.write_text(text)
+    with pytest.raises(ValueError, match="numeric|could not convert"):
+        load_tree_samples(str(p))

@@ -99,3 +99,42 @@ def test_workflow_grid_fanout(fixtures_dir, tmp_path):
             .split("\n")[0]
         n_sr = sum(1 for c in header.split("\t") if c.startswith("sr["))
         assert n_sr == int(combo_dir.rsplit("_", 1)[1])
+
+
+def test_git_stamp(tmp_path):
+    from linearham_tpu.workflow import write_git_stamp
+
+    write_git_stamp(str(tmp_path))
+    text = (tmp_path / "git.log").read_text().strip()
+    assert text  # commit hash + describe (or package version fallback)
+
+
+def test_grid_flat_layout(tmp_path, monkeypatch):
+    import linearham_tpu.workflow as wf
+
+    seen = []
+    monkeypatch.setattr(wf, "run_family_workflow",
+                        lambda sub, **kw: seen.append(sub))
+    grid = {"mcmc_iter": [10, 20], "mcmc_thin": [1], "num_rates": [2, 4]}
+
+    wf.run_workflow_grid(str(tmp_path), grid, {}, nestly_subdirs=True)
+    assert seen == [
+        str(tmp_path / "mcmc_iter_10" / "num_rates_2"),
+        str(tmp_path / "mcmc_iter_10" / "num_rates_4"),
+        str(tmp_path / "mcmc_iter_20" / "num_rates_2"),
+        str(tmp_path / "mcmc_iter_20" / "num_rates_4"),
+    ]
+
+    seen.clear()
+    wf.run_workflow_grid(str(tmp_path), grid, {}, nestly_subdirs=False)
+    assert seen == [
+        str(tmp_path / "mcmc_iter_10_num_rates_2"),
+        str(tmp_path / "mcmc_iter_10_num_rates_4"),
+        str(tmp_path / "mcmc_iter_20_num_rates_2"),
+        str(tmp_path / "mcmc_iter_20_num_rates_4"),
+    ]
+
+    # single-combination grids write straight into the base directory
+    seen.clear()
+    wf.run_workflow_grid(str(tmp_path), {"mcmc_iter": [10]}, {})
+    assert seen == [str(tmp_path)]
