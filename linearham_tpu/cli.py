@@ -109,8 +109,8 @@ def main(argv=None) -> int:
                        seed=args.seed)
         hmm.init_phylo_parameters(args.newick_path, args.er, args.pi,
                                   args.alpha, args.num_rates)
-        for _ in range(args.N):
-            print(hmm.sample_naive_sequence().naive_seq)
+        for ann in hmm.sample_annotations(args.N):
+            print(ann.naive_seq)
     else:
         from linearham_tpu.pipeline.run import run_pipeline
 

@@ -330,6 +330,50 @@ class PhyloHMM:
         path = self._run(sample_key=subkey)
         return self._decode(path, 0)
 
+    def sample_annotations(self, n: int) -> List[Annotation]:
+        """Draw ``n`` posterior paths in one batched device call.
+
+        Emissions and the forward pass run once; samples are ``n``
+        vmapped FFBS backward walks (the reference's --sample subcommand
+        likewise caches the forward pass, src/linearham.cpp:384-386).
+        """
+        p = self.params
+        tb = self._tree_batch
+        T = tb.n_trees
+        pi = jnp.asarray([p.pi] * T, self._dtype)
+        rates = jnp.asarray([p.rates] * T, self._dtype)
+        eig = gtr_eigen([p.er] * T, [p.pi] * T)
+        heavy = self.space.is_heavy
+
+        emis, site_ll = jax.jit(
+            phylo_emissions, static_argnames=("heavy", "n_slots")
+        )(
+            self._consts, self._xmsa_rows, self._naive_bases,
+            self._device_tree(tb), eig, pi, rates,
+            heavy=heavy, n_slots=tb.n_slots,
+        )
+        loglik, cache = jax.jit(
+            forward, static_argnames=("heavy",)
+        )(self._trans, emis, heavy=heavy)
+        self._loglik = np.asarray(loglik)
+        self._xmsa_emission = np.asarray(jnp.exp(site_ll))
+
+        self._key, subkey = jax.random.split(self._key)
+        keys = jax.random.split(subkey, n)
+
+        @jax.jit
+        def sampler(keys, trans, cache):
+            return jax.vmap(
+                lambda k: sample_path(k, trans, cache, heavy)
+            )(keys)
+
+        paths = jax.tree.map(
+            np.asarray, sampler(keys, self._trans, cache))
+        return [
+            self._decode(jax.tree.map(lambda a: a[i], paths), 0)
+            for i in range(n)
+        ]
+
     def map_annotation(self) -> Annotation:
         """The MAP (Viterbi) V(D)J annotation under the current tree."""
         p = self.params

