@@ -39,6 +39,10 @@ def _use_pallas_pruning(dtype) -> bool:
     uses the kernel on TPU in f32 (the production configuration) and the
     jnp path everywhere else (CPU conformance runs in f64, the multichip
     CPU dryrun, interpret-free debugging).
+
+    The variable is read at TRACE time: set it before the first
+    likelihood/pipeline call in the process.  Changing it later has no
+    effect on shapes whose compilation is already cached.
     """
     import os
 
@@ -295,19 +299,25 @@ class PhyloHMM:
             "root_slot": jnp.asarray(tb.root_slot),
         }
 
-    def _run(self, sample_key):
+    def _ensemble_inputs(self):
+        """Replicated GTR/rate inputs for the current single-tree batch."""
         p = self.params
         tb = self._tree_batch
         T = tb.n_trees
         pi = jnp.asarray([p.pi] * T, self._dtype)
         rates = jnp.asarray([p.rates] * T, self._dtype)
         eig = gtr_eigen([p.er] * T, [p.pi] * T)
+        return self._device_tree(tb), eig, pi, rates
+
+    def _run(self, sample_key):
+        tb = self._tree_batch
+        tree, eig, pi, rates = self._ensemble_inputs()
 
         loglik, xmsa_emission, path = jax.jit(
             phylo_step, static_argnames=("heavy", "n_slots")
         )(
             self._trans, self._consts, self._xmsa_rows, self._naive_bases,
-            self._device_tree(tb), eig, pi, rates, sample_key,
+            tree, eig, pi, rates, sample_key,
             heavy=self.space.is_heavy, n_slots=tb.n_slots,
         )
         self._loglik = np.asarray(loglik)
@@ -337,19 +347,15 @@ class PhyloHMM:
         vmapped FFBS backward walks (the reference's --sample subcommand
         likewise caches the forward pass, src/linearham.cpp:384-386).
         """
-        p = self.params
         tb = self._tree_batch
-        T = tb.n_trees
-        pi = jnp.asarray([p.pi] * T, self._dtype)
-        rates = jnp.asarray([p.rates] * T, self._dtype)
-        eig = gtr_eigen([p.er] * T, [p.pi] * T)
+        tree, eig, pi, rates = self._ensemble_inputs()
         heavy = self.space.is_heavy
 
         emis, site_ll = jax.jit(
             phylo_emissions, static_argnames=("heavy", "n_slots")
         )(
             self._consts, self._xmsa_rows, self._naive_bases,
-            self._device_tree(tb), eig, pi, rates,
+            tree, eig, pi, rates,
             heavy=heavy, n_slots=tb.n_slots,
         )
         loglik, cache = jax.jit(
@@ -376,17 +382,13 @@ class PhyloHMM:
 
     def map_annotation(self) -> Annotation:
         """The MAP (Viterbi) V(D)J annotation under the current tree."""
-        p = self.params
         tb = self._tree_batch
-        T = tb.n_trees
-        pi = jnp.asarray([p.pi] * T, self._dtype)
-        rates = jnp.asarray([p.rates] * T, self._dtype)
-        eig = gtr_eigen([p.er] * T, [p.pi] * T)
+        tree, eig, pi, rates = self._ensemble_inputs()
         score, path = jax.jit(
             phylo_map_step, static_argnames=("heavy", "n_slots")
         )(
             self._trans, self._consts, self._xmsa_rows, self._naive_bases,
-            self._device_tree(tb), eig, pi, rates,
+            tree, eig, pi, rates,
             heavy=self.space.is_heavy, n_slots=tb.n_slots,
         )
         self.map_score = float(np.asarray(score)[0])

@@ -78,17 +78,21 @@ def write_git_stamp(outdir: str) -> None:
     """
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     lines = []
-    for cmd in (["git", "rev-parse", "HEAD"],
-                ["git", "describe", "--dirty", "--always"]):
-        try:
-            out = subprocess.run(
-                cmd, cwd=pkg_dir, check=True, capture_output=True,
-                text=True, timeout=10,
-            ).stdout.strip()
-        except Exception:
-            out = None
-        if out:
-            lines.append(out)
+    # Only trust git when the package directory itself is the checkout;
+    # a site-packages install nested inside some unrelated repository must
+    # not stamp that repository's commit.
+    if os.path.isdir(os.path.join(pkg_dir, ".git")):
+        for cmd in (["git", "rev-parse", "HEAD"],
+                    ["git", "describe", "--dirty", "--always"]):
+            try:
+                out = subprocess.run(
+                    cmd, cwd=pkg_dir, check=True, capture_output=True,
+                    text=True, timeout=10,
+                ).stdout.strip()
+            except Exception:
+                out = None
+            if out:
+                lines.append(out)
     if not lines:
         import linearham_tpu
 

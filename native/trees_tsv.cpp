@@ -99,6 +99,8 @@ extern "C" int lh_parse_trees_tsv(
     const char* le = static_cast<const char*>(
         memchr(line, '\n', static_cast<size_t>(end - line)));
     if (!le) le = end;
+    const char* next = le + 1;
+    while (le > line && le[-1] == '\r') --le;  // CRLF line endings
     if (le > line) {  // skip blank lines
       if (row >= max_rows) {
         set_err(err, errlen, "TSV has more rows than the caller allocated");
@@ -123,6 +125,11 @@ extern "C" int lh_parse_trees_tsv(
           return 1;
         }
       }
+      if (static_cast<size_t>(col_of[kNumeric]) >= fields.size()) {
+        set_err(err, errlen, "row " + std::to_string(row) +
+                                 " is missing the tree column");
+        return 1;
+      }
       auto [tb, te] = fields[col_of[kNumeric]];
       while (tb < te && (*tb == ' ' || *tb == '"')) ++tb;
       while (te > tb && (te[-1] == ' ' || te[-1] == '\r' || te[-1] == '"'))
@@ -131,7 +138,7 @@ extern "C" int lh_parse_trees_tsv(
       tree_len[row] = te - tb;
       ++row;
     }
-    line = le + 1;
+    line = next;
   }
   if (row == 0) {
     set_err(err, errlen, "TSV contains no posterior samples");

@@ -123,3 +123,19 @@ def test_native_tsv_non_numeric(tmp_path):
     p.write_text(text)
     with pytest.raises(ValueError, match="numeric|could not convert"):
         load_tree_samples(str(p))
+
+
+def test_native_tsv_crlf_and_truncation(tmp_path):
+    from linearham_tpu.io.native import parse_trees_tsv_bytes
+
+    if parse_trees_tsv_bytes is None:  # pragma: no cover
+        pytest.skip("native library unavailable")
+    text = _tsv_text(2).replace("\n", "\r\n") + "\r\n"  # CRLF, blank tail
+    num, newicks = parse_trees_tsv_bytes(text.encode())
+    assert num.shape == (2, 14) and len(newicks) == 2
+
+    # truncated final row (missing the tree column) must hard-error,
+    # never silently duplicate the previous row's newick
+    truncated = _tsv_text(1) + "\t".join(["1"] * 14) + "\n"
+    with pytest.raises(ValueError, match="missing the tree column"):
+        parse_trees_tsv_bytes(truncated.encode())
