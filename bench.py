@@ -18,7 +18,78 @@ import time
 BASELINE_TREES_PER_SEC = 1000.0
 
 
+def repertoire_mode() -> int:
+    """BENCH_MODE=repertoire: multi-family throughput on one chip.
+
+    F identically-shaped synthetic families stack on a leading axis and run
+    through the same vmapped fused step the (fam, trees) mesh shards across
+    chips -- on one chip this measures the repertoire-scale execution path
+    (bucketed stacking + vmap of the Pallas pruning kernel).
+    """
+    n_fams = int(os.environ.get("BENCH_FAMS", "8"))
+    n_trees = int(os.environ.get("BENCH_TREES", "256"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    K = int(os.environ.get("BENCH_CHAIN", "8"))
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from linearham_tpu.parallel.mesh import multi_family_step
+
+    import __graft_entry__ as graft
+
+    per_family = []
+    n_slots = None
+    for f in range(n_fams):
+        _, args, n_slots = graft._build_family_inputs(
+            jnp.float32, n_trees=n_trees, seed=0)
+        per_family.append(args)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_family)
+    trans, consts, rows, naive, tree, eig, pi, rates, keys = stacked
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chained(keys, tree, k):
+        def body(acc, _):
+            tree_k = dict(tree)
+            tree_k["edge_length"] = tree["edge_length"] * (1 + acc * 1e-30)
+            loglik, path = multi_family_step(
+                trans, consts, rows, naive, tree_k, eig, pi, rates, keys,
+                heavy=True, n_slots=n_slots)
+            return acc + loglik.sum() + path.jgerm_idx.sum(), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              jnp.arange(k))
+        return acc
+
+    t0 = time.perf_counter()
+    float(chained(keys, tree, K))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chained(keys, tree, K))
+        times.append((time.perf_counter() - t0) / K)
+    times.sort()
+    best = times[len(times) // 2]
+    total_trees = n_fams * n_trees
+    result = {
+        "metric": "repertoire_trees_per_sec_per_chip",
+        "value": round(total_trees / best, 1),
+        "unit": "trees/s",
+        "vs_baseline": round(total_trees / best / BASELINE_TREES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(f"# fams={n_fams} trees/fam={n_trees} chain={K} "
+          f"median={best * 1e3:.2f}ms compile={compile_s:.1f}s",
+          file=sys.stderr)
+    return 0
+
+
 def main() -> int:
+    if os.environ.get("BENCH_MODE") == "repertoire":
+        return repertoire_mode()
     n_trees = int(os.environ.get("BENCH_TREES", "1024"))
     n_seqs = int(os.environ.get("BENCH_SEQS", "10"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
