@@ -36,6 +36,25 @@ def gamma_category_rates(alpha: float, n_rates: int) -> np.ndarray:
     return n_rates * np.diff(cdf_up)
 
 
+def gamma_category_rates_batch(alphas, n_rates: int) -> np.ndarray:
+    """gamma_category_rates vectorized over a [T] batch of shapes.
+
+    One vectorized ppf/cdf call instead of T scalar ones: the per-sample
+    loop costs ~150 ms per 1024 posterior rows of host prep.
+    """
+    alphas = np.asarray(alphas, np.float64)
+    T = alphas.shape[0]
+    if n_rates == 1:
+        return np.ones((T, 1))
+    a = alphas[:, None]
+    edges = _gamma_dist.ppf(
+        (np.arange(1, n_rates) / n_rates)[None, :], a, scale=1.0 / a)
+    edges = np.concatenate(
+        [np.zeros((T, 1)), edges, np.full((T, 1), np.inf)], axis=1)
+    cdf_up = _gamma_dist.cdf(edges, a + 1.0, scale=1.0 / a)
+    return n_rates * np.diff(cdf_up, axis=1)
+
+
 class GTREigen(NamedTuple):
     """Eigendecomposition of Q: P(t) = U @ diag(exp(lam * t)) @ Uinv."""
 

@@ -24,7 +24,7 @@ from linearham_tpu.io.newick import batch_trees, parse_newick
 from linearham_tpu.io.trees_tsv import TreeSamples, load_tree_samples
 from linearham_tpu.models.decode import Annotation
 from linearham_tpu.models.phylo_hmm import PhyloHMM, phylo_step
-from linearham_tpu.ops.gtr import gamma_category_rates, gtr_eigen
+from linearham_tpu.ops.gtr import gamma_category_rates_batch, gtr_eigen
 
 _COMMENT_RE = re.compile(r"\[[^\]]*\]")
 
@@ -59,9 +59,7 @@ def prepare_ensemble(hmm: PhyloHMM, samples: TreeSamples, num_rates: int):
     if tb is None:
         trees = [parse_newick(nw) for nw in samples.newicks]
         tb = batch_trees(trees, hmm.xmsa.labels)
-    rates = np.stack([
-        gamma_category_rates(a, num_rates) for a in samples.alpha
-    ])
+    rates = gamma_category_rates_batch(samples.alpha, num_rates)
     tree_arrays = {
         "tip_perm": tb.tip_perm,
         "tip_parent": tb.tip_parent,
