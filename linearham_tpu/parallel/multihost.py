@@ -1,0 +1,82 @@
+"""Multi-host data parallelism over clonal families.
+
+The reference's only repertoire-scale story is one SCons invocation per
+family (SURVEY.md section 2g).  Here a repertoire run spans hosts with
+jax's distributed runtime: every process loads its slice of the family
+list, and one global ``(fam, trees)`` mesh shards the stacked buckets so
+that each family lands on one chip group.  The model is KB-scale and
+replicated; there is no parameter sharding and no communication in the hot
+path — the only collectives are final per-family scalar/tally reductions,
+which XLA inserts from the NamedSharding annotations and routes over ICI
+within a slice (DCN across slices).
+
+Scaling is therefore embarrassingly parallel by construction: the ≥80%
+1-chip→2-host efficiency target reduces to keeping per-chip batches full
+(bucket families so stacked shapes match; see parallel/repertoire.py).
+
+Typical multi-host driver::
+
+    from linearham_tpu.parallel import multihost
+
+    multihost.initialize()                  # env-driven (TPU pods: no args)
+    mesh = multihost.global_family_mesh()
+    mine = multihost.process_slice(all_family_paths)
+    ...load + bucket `mine`, then run_repertoire(tasks, mesh=mesh)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Start jax's distributed runtime (no-op if already initialized).
+
+    On TPU pods all arguments come from the environment; pass them
+    explicitly only for manual CPU/GPU cluster bring-up.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as exc:  # already initialized -> idempotent
+        if "already" not in str(exc).lower():
+            raise
+
+
+def global_family_mesh(n_tree_shards: int = 1) -> Mesh:
+    """A (fam, trees) mesh over ALL devices across every process.
+
+    ``n_tree_shards`` > 1 additionally splits each family's posterior
+    tree batch across that many chips (useful when a repertoire has few
+    very large families).
+    """
+    devices = np.asarray(jax.devices())
+    if devices.size % n_tree_shards:
+        raise ValueError(
+            f"{devices.size} devices do not split into "
+            f"{n_tree_shards} tree shards")
+    grid = devices.reshape(devices.size // n_tree_shards, n_tree_shards)
+    return Mesh(grid, ("fam", "trees"))
+
+
+def process_slice(items: Sequence, process_id: Optional[int] = None,
+                  num_processes: Optional[int] = None) -> list:
+    """The contiguous slice of ``items`` this host should load.
+
+    Host-side input loading is split evenly by process so no host reads
+    the whole repertoire; remainders go to the leading processes.
+    """
+    p = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if num_processes is None else num_processes
+    base, rem = divmod(len(items), n)
+    start = p * base + min(p, rem)
+    return list(items[start:start + base + (1 if p < rem else 0)])

@@ -61,3 +61,26 @@ def test_repertoire_on_device_mesh(tasks):
     unsharded = run_repertoire(pair, num_rates=4, seed=0)
     for a, b in zip(sharded, unsharded):
         np.testing.assert_allclose(a.loglik, b.loglik, rtol=1e-12)
+
+
+def test_multihost_helpers():
+    """Mesh layout and host-side slicing (single process, 8 CPU devices)."""
+    import jax
+
+    from linearham_tpu.parallel import multihost
+
+    mesh = multihost.global_family_mesh()
+    assert mesh.axis_names == ("fam", "trees")
+    assert mesh.devices.shape == (len(jax.devices()), 1)
+
+    mesh2 = multihost.global_family_mesh(n_tree_shards=4)
+    assert mesh2.devices.shape == (len(jax.devices()) // 4, 4)
+
+    import pytest
+    with pytest.raises(ValueError, match="do not split"):
+        multihost.global_family_mesh(n_tree_shards=3)
+
+    items = list(range(10))
+    slices = [multihost.process_slice(items, p, 3) for p in range(3)]
+    assert slices == [[0, 1, 2, 3], [4, 5, 6], [7, 8, 9]]
+    assert multihost.process_slice(items) == items  # single process
