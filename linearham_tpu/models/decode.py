@@ -12,6 +12,8 @@ import re
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
+import numpy as np
+
 from linearham_tpu.compiler.state_space import (
     GermlineRegion,
     JunctionRegion,
@@ -44,16 +46,32 @@ class Annotation:
     j_fwk_insertion: str
 
 
-def _fill_germline(naive: list, region: GermlineRegion, idx: int,
+def _fill_germline(naive: np.ndarray, region: GermlineRegion, idx: int,
                    alphabet: str) -> None:
-    gname = region.state_strs[idx]
-    start, end = region.ggene_ranges[gname]
-    for i in range(start, end):
-        naive[region.site_inds[i]] = alphabet[region.naive_bases[i]]
+    """One vectorized assignment per germline state.
+
+    The (positions, characters) pair depends only on the gene state, so
+    it is memoized on the region: decoding thousands of sampled paths per
+    family would otherwise loop over every germline site in Python.
+    """
+    cache = getattr(region, "_fill_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(region, "_fill_cache", cache)
+    pair = cache.get(idx)
+    if pair is None:
+        gname = region.state_strs[idx]
+        start, end = region.ggene_ranges[gname]
+        pos = np.asarray(region.site_inds[start:end], dtype=np.intp)
+        chars = np.array(
+            [alphabet[b] for b in region.naive_bases[start:end]],
+            dtype="<U1")
+        cache[idx] = pair = (pos, chars)
+    naive[pair[0]] = pair[1]
 
 
 def _walk_junction(
-    naive: list,
+    naive: np.ndarray,
     junction: JunctionRegion,
     idx_row: Sequence[int],
     left_gtype: str,
@@ -94,7 +112,7 @@ def decode_path(
     """Decode one sampled path into a full annotation."""
     alphabet = space.alphabet
     heavy = space.is_heavy
-    naive = ["N"] * n_sites
+    naive = np.full(n_sites, "N", dtype="<U1")
 
     jgerm_idx = int(jgerm_idx)
     j_5p_del = space.jgerm.left_del[jgerm_idx]
@@ -131,7 +149,7 @@ def decode_path(
         v_3p_del = space.vgerm.right_del[vgerm_idx]
     _fill_germline(naive, space.vgerm, vgerm_idx, alphabet)
 
-    naive_seq = "".join(naive)
+    naive_seq = "".join(naive.tolist())
     m = re.match(r"^(N*)[" + alphabet[:-1] + r"]+(N*)$", naive_seq)
     v_fwk, j_fwk = (m.group(1), m.group(2)) if m else ("", "")
 
