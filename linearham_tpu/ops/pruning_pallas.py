@@ -9,18 +9,27 @@ Why a kernel: the XLA version carries the full partials tensor
 ``lax.scan`` whose every step gathers a child slice and scatter-updates a
 parent slice; batched gather/scatter round-trips HBM and dominates the
 pipeline (measured 27ms of a 27ms step at T=1024, X=863 on v5e).  Here each
-tree's partials live entirely in VMEM scratch ([slots, R, 4, X] ~ 1.3MB),
-the topology arrives as scalar-prefetched SMEM arrays, and the only HBM
-traffic is the tip codes in and the per-site log-likelihoods out.
+tree's partials live entirely in VMEM scratch ([slots, R, 4, Xb]), the
+topology and branch lengths arrive as scalar-prefetched SMEM arrays (the
+only memory space with free dynamic indexing), and the only HBM traffic is
+the tip codes in and the per-site log-likelihoods out.
 
-Layout: the xMSA site axis X is the lane dimension (padded to 128); the
-4-state axis sits in sublanes.  The per-edge transition matrix is never
-formed: messages propagate through the GTR eigenbasis,
+Scaling to production family sizes: the xMSA site axis is the lane
+dimension, blocked to Xb columns so the partials scratch fits VMEM for
+arbitrarily deep trees (a 312-sequence clonal family has ~311 internal
+slots; sites are independent given the tree, so blocks are independent),
+and the tree batch is chunked so the per-tree SMEM topology tables stay
+under the ~1MB SMEM budget.  Tip codes are laid out [n_tips, T, X] so the
+post-order loops index only leading (untiled) dimensions.
+
+Per-edge transition matrices are never formed: messages propagate through
+the GTR eigenbasis,
 
     msg = U @ (expd ⊙ (U^-1 @ p)),    expd = exp(lam * t * rate),
 
 with U / U^-1 elements read as scalars and broadcast against [R, X] rows
-(pure VPU work; a 4x4 contraction would waste a 128x128 MXU pass).
+(pure VPU work; a 4x4 contraction would waste a padded 128x128 MXU pass),
+and expd computed in-kernel from the SMEM branch length (one [R, 4] exp).
 
 All trees in a batch share the tip label set (TreeBatch contract,
 io/newick.py); padded edges point child and parent at the sink slot with
@@ -37,48 +46,73 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Cap on the per-tree partials scratch buffer; Xb shrinks to fit.
+_SCRATCH_BYTES = 4 * 1024 * 1024
+# Budget for the scalar-prefetched SMEM tables; the tree chunk shrinks
+# to fit (hardware SMEM is ~1MB).
+_SMEM_BYTES = 512 * 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
 def _kernel(
-    # scalar prefetch (SMEM): rows = [tip_parent (n_tips) | edge_child (E)
-    # | edge_parent (E) | root_slot (1)]; packed into one array because
-    # SMEM pads each array's minor dimension to 128 lanes.
-    topo_ref,         # [n_tips + 2E + 1, T] int32
+    # scalar prefetch (SMEM); packed into two arrays because SMEM pads
+    # each array's minor dimension to 128 lanes.
+    topo_ref,         # [n_tips + 2E + 1, Tc] int32: rows = [tip_parent
+                      # (n_tips) | edge_child (E) | edge_parent (E) | root]
+    lengths_ref,      # [n_tips + E, Tc] f32 branch lengths
     # VMEM blocks
-    codes_ref,        # [TB, n_tips, X] int32
+    codes_ref,        # [n_tips, TB, Xb] int32 (tips leading: untiled)
     u_ref,            # [TB, 4, 4] f32
     uinv_ref,         # [TB, 4, 4] f32
-    expd_ref,         # [TB, n_tips + E, R, 4] f32
+    lam_ref,          # [TB, 4] f32
+    rates_ref,        # [TB, R] f32
     pi_ref,           # [TB, 4] f32
-    out_ref,          # [TB, X] f32
+    out_ref,          # [TB, Xb] f32
     # scratch
-    partials,         # VMEM [slots, R, 4, X] f32
-    scale,            # VMEM [R, X] f32
+    partials,         # VMEM [slots, R, 4, Xb] f32
+    scale,            # VMEM [R, Xb] f32
     *,
     trees_per_block: int,
     n_tips: int,
     n_edges: int,
     n_slots: int,
     n_rates: int,
+    unroll: bool,
 ):
     prog = pl.program_id(0)
+    R = n_rates
+
+    def loop(n, body):
+        """Static unroll (small trees: better scheduling) or fori (big
+        trees: bounded code size)."""
+        if unroll:
+            for i in range(n):
+                body(i, 0)
+        else:
+            jax.lax.fori_loop(0, n, body, 0)
 
     def renorm(upd):
         """Per-(rate, site) max-normalization; returns (normed, log max)."""
-        m = jnp.max(upd, axis=1, keepdims=True)            # [R, 1, X]
+        m = jnp.max(upd, axis=1, keepdims=True)            # [R, 1, Xb]
         m = jnp.where(m > 0, m, 1.0)
         return upd / m, jnp.log(m[:, 0, :])
 
     for tb in range(trees_per_block):
         t = prog * trees_per_block + tb
         # Columns of U / U^-1 as [1, 4, 1] for broadcast-FMA against
-        # [R, 1, X] slices — no stack/concat relayouts in the hot loop.
+        # [R, 1, Xb] slices — no stack/concat relayouts in the hot loop.
         ucol = [u_ref[tb, :, k:k + 1][None] for k in range(4)]
         vcol = [uinv_ref[tb, :, j:j + 1][None] for j in range(4)]
         vrowsum = vcol[0] + vcol[1] + vcol[2] + vcol[3]
+        lam_row = lam_ref[tb:tb + 1, :]                    # [1, 4]
+        rates_col = rates_ref[tb:tb + 1, :].reshape(R, 1)  # [R, 1]
+
+        def expd_for(k):
+            """exp(lam * t_k * rate) [R, 4] for tip/edge index k."""
+            return jnp.exp(rates_col * (lengths_ref[k, t] * lam_row))
 
         def propagate(w):
             """msg[r,i,x] = max(0, sum_k u[i,k] w[r,k,x])."""
@@ -88,44 +122,54 @@ def _kernel(
         partials[...] = jnp.ones_like(partials)
 
         # --- tips: messages straight from one-hot leaves ------------------
-        for i in range(n_tips):
-            code = codes_ref[tb, i:i + 1, :][None]         # [1, 1, X]
+        def tip_body(i, _):
+            code = codes_ref[pl.ds(i, 1), tb, :][None]     # [1, 1, Xb]
             # w[k, x] = uinv[k, code[x]] (column gather; code >= 4 (N) ->
             # all-ones tip = row sums, matching treatAmbiguousAsGap).
             w = sum(
                 vcol[j] * (code == j).astype(jnp.float32) for j in range(4)
-            ) + vrowsum * (code >= 4).astype(jnp.float32)  # [1, 4, X]
-            w = w * expd_ref[tb, i][..., None]             # [R, 4, X]
+            ) + vrowsum * (code >= 4).astype(jnp.float32)  # [1, 4, Xb]
+            w = w * expd_for(i)[..., None]                 # [R, 4, Xb]
             msg = propagate(w)
             p = topo_ref[i, t]
             partials[pl.ds(p, 1)] = partials[pl.ds(p, 1)] * msg[None]
+            return 0
+
+        loop(n_tips, tip_body)
 
         # --- per-slot renormalization after the tip products ---------------
         scale[...] = jnp.zeros_like(scale)
-        for s in range(n_slots):
-            normed, logm = renorm(partials[s])
+
+        def slot_body(s, _):
+            normed, logm = renorm(partials[pl.ds(s, 1)][0])
             partials[pl.ds(s, 1)] = normed[None]
             scale[...] += logm
+            return 0
+
+        loop(n_slots, slot_body)
 
         # --- internal edges in post-order ----------------------------------
-        for e in range(n_edges):
+        def edge_body(e, _):
             c = topo_ref[n_tips + e, t]
             pnt = topo_ref[n_tips + n_edges + e, t]
-            pc = partials[pl.ds(c, 1)][0]                  # [R, 4, X]
+            pc = partials[pl.ds(c, 1)][0]                  # [R, 4, Xb]
             w = sum(vcol[j] * pc[:, j:j + 1, :] for j in range(4))
-            w = w * expd_ref[tb, n_tips + e][..., None]
+            w = w * expd_for(n_tips + e)[..., None]
             msg = propagate(w)
             upd = partials[pl.ds(pnt, 1)][0] * msg
             normed, logm = renorm(upd)
             partials[pl.ds(pnt, 1)] = normed[None]
             scale[...] += logm
+            return 0
+
+        loop(n_edges, edge_body)
 
         # --- root: stationary mix, rate mix --------------------------------
         r = topo_ref[n_tips + 2 * n_edges, t]
-        root = partials[pl.ds(r, 1)][0]                    # [R, 4, X]
+        root = partials[pl.ds(r, 1)][0]                    # [R, 4, Xb]
         lik = sum(pi_ref[tb, i] * root[:, i, :] for i in range(4))
-        per_rate = jnp.log(lik) + scale[...]               # [R, X]
-        mx = jnp.max(per_rate, axis=0, keepdims=True)      # [1, X]
+        per_rate = jnp.log(lik) + scale[...]               # [R, Xb]
+        mx = jnp.max(per_rate, axis=0, keepdims=True)      # [1, Xb]
         mix = mx + jnp.log(
             jnp.sum(jnp.exp(per_rate - mx), axis=0, keepdims=True))
         out_ref[pl.ds(tb, 1), :] = mix - jnp.log(
@@ -154,22 +198,26 @@ def site_log_likelihoods_pallas(
     E = edge_child.shape[1]
     R = rates.shape[1]
     f32 = jnp.float32
-
-    # exp(lam * t * rate) for every (tip|edge, rate): tiny elementwise XLA.
-    lengths = jnp.concatenate([tip_length, edge_length], axis=1)  # [T, 19]
-    expd = jnp.exp(
-        eig.lam[:, None, None, :].astype(f32)
-        * (lengths[:, :, None].astype(f32) * rates[:, None, :].astype(f32))
-        [..., None]
-    )                                                     # [T, tips+E, R, 4]
-
-    Xp = _round_up(X, 128)
     TB = trees_per_block
+
+    # Site-block width: the largest 128-multiple whose per-tree partials
+    # scratch stays under the cap (deep trees => many slots => narrow
+    # blocks; sites are independent, so blocks are too).
+    Xp = _round_up(X, 128)
+    per_col = n_slots * R * 8 * 4        # bytes/column (4->8 sublane pad)
+    Xb = max(128, min(Xp, (_SCRATCH_BYTES // per_col) // 128 * 128))
+    n_xblocks = -(-Xp // Xb)
+    Xp = n_xblocks * Xb
+
+    # Tree-chunk size: the SMEM tables are (tips+2E+1) int32 + (tips+E)
+    # f32 rows per tree.
+    smem_per_tree = ((n_tips + 2 * E + 1) + (n_tips + E)) * 4
+    Tc = max(TB, (_SMEM_BYTES // smem_per_tree) // TB * TB)
     Tp = _round_up(T, TB)
 
     def pad(a, total, axis=0, fill=0):
         n = total - a.shape[axis]
-        if n == 0:
+        if n <= 0:
             return a
         widths = [(0, 0)] * a.ndim
         widths[axis] = (0, n)
@@ -177,10 +225,15 @@ def site_log_likelihoods_pallas(
 
     # Padded sites get code 4 (N): all-ones partials, site loglik 0.
     codes = pad(pad(tip_codes.astype(jnp.int32), Xp, axis=2, fill=4), Tp)
+    codes = jnp.transpose(codes, (1, 0, 2))          # [n_tips, Tp, Xp]
     u = pad(eig.u.astype(f32), Tp)
     uinv = pad(eig.u_inv.astype(f32), Tp)
-    expd = pad(expd, Tp, fill=1)
+    lam = pad(eig.lam.astype(f32), Tp)
+    rates_p = pad(rates.astype(f32), Tp)
     pi_p = pad(pi.astype(f32), Tp)
+    lengths = pad(
+        jnp.concatenate([tip_length, edge_length], axis=1).astype(f32),
+        Tp).T                                        # [n_tips + E, Tp]
     topo = pad(
         jnp.concatenate(
             [
@@ -192,35 +245,67 @@ def site_log_likelihoods_pallas(
             axis=1,
         ).T,
         Tp, axis=1,
-    )                                       # [n_tips + 2E + 1, Tp]
+    )                                                # [n_tips + 2E + 1, Tp]
 
     kernel = functools.partial(
         _kernel, trees_per_block=TB, n_tips=n_tips, n_edges=E,
         n_slots=n_slots, n_rates=R,
+        # Unrolled post-order loops schedule ~25% faster but the code
+        # size scales with tree depth; cap the unroll at small trees.
+        unroll=(n_tips + E) <= 64,
     )
-    block = lambda shape: pl.BlockSpec(
-        shape, lambda i, *_: (i,) + (0,) * (len(shape) - 1),
-        memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(Tp // TB,),
-            in_specs=[
-                block((TB, n_tips, Xp)),
-                block((TB, 4, 4)),
-                block((TB, 4, 4)),
-                block((TB, n_tips + E, R, 4)),
-                block((TB, 4)),
-            ],
-            out_specs=block((TB, Xp)),
-            scratch_shapes=[
-                pltpu.VMEM((n_slots, R, 4, Xp), f32),
-                pltpu.VMEM((R, Xp), f32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((Tp, Xp), f32),
-        interpret=interpret,
-    )(topo, codes, u, uinv, expd, pi_p)
-    return out[:T, :X]
+    def block(shape, site_axis=None, tree_axis=0):
+        def index_map(i, j, *_):
+            idx = [0] * len(shape)
+            idx[tree_axis] = i
+            if site_axis is not None:
+                idx[site_axis] = j
+            return tuple(idx)
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    def run_chunk(args):
+        topo_c, lengths_c, codes_c, u_c, uinv_c, lam_c, rates_c, pi_c = args
+        Tcc = u_c.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(Tcc // TB, n_xblocks),
+                in_specs=[
+                    block((n_tips, TB, Xb), site_axis=2, tree_axis=1),
+                    block((TB, 4, 4)),
+                    block((TB, 4, 4)),
+                    block((TB, 4)),
+                    block((TB, R)),
+                    block((TB, 4)),
+                ],
+                out_specs=block((TB, Xb), site_axis=1),
+                scratch_shapes=[
+                    pltpu.VMEM((n_slots, R, 4, Xb), f32),
+                    pltpu.VMEM((R, Xb), f32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((Tcc, Xp), f32),
+            interpret=interpret,
+        )(topo_c, lengths_c, codes_c, u_c, uinv_c, lam_c, rates_c, pi_c)
+
+    if Tp <= Tc:
+        out = run_chunk((topo, lengths, codes, u, uinv, lam, rates_p, pi_p))
+        return out[:T, :X]
+
+    # Chunk the tree batch so the SMEM tables fit; one compiled kernel
+    # serves every full chunk, plus one call for the padded remainder.
+    Tfull = (Tp // Tc) * Tc
+    outs = []
+    for start in range(0, Tfull, Tc):
+        sl = slice(start, start + Tc)
+        outs.append(run_chunk((
+            topo[:, sl], lengths[:, sl], codes[:, sl], u[sl], uinv[sl],
+            lam[sl], rates_p[sl], pi_p[sl])))
+    if Tfull < Tp:
+        sl = slice(Tfull, Tp)
+        outs.append(run_chunk((
+            topo[:, sl], lengths[:, sl], codes[:, sl], u[sl], uinv[sl],
+            lam[sl], rates_p[sl], pi_p[sl])))
+    return jnp.concatenate(outs, axis=0)[:T, :X]

@@ -87,3 +87,50 @@ def test_kernel_handles_ambiguous_tips(ensemble):
         tree["root_slot"], n_slots=n_slots, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_blocked_paths_match(monkeypatch):
+    """Deep trees: site blocking, SMEM tree-chunking, and the fori-loop
+    body (non-unrolled) must agree with the jnp path."""
+    import linearham_tpu.ops.pruning_pallas as pp
+
+    fam = make_family(n_seqs=40, seed=7)   # tips+E > 64 -> fori path
+    hmm = PhyloHMM.from_parts(
+        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
+        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
+    )
+    samples = make_tree_samples(fam, 5, seed=7)
+    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 2)
+
+    def to_dev(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating):
+            return jnp.asarray(a, jnp.float32)
+        return jnp.asarray(a)
+
+    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
+    eig = jax.tree.map(to_dev, eig)
+    pi, rates = to_dev(samples.pi), to_dev(rates)
+
+    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
+                 eparent, elen, root):
+        return site_log_likelihoods(
+            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
+            echild, eparent, elen, root, n_slots)
+
+    want = jax.vmap(per_tree)(
+        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
+        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
+        tree["edge_length"], tree["root_slot"])
+
+    # Force several site blocks and several tree chunks.
+    monkeypatch.setattr(pp, "_SCRATCH_BYTES", 2 * 1024 * 1024)
+    monkeypatch.setattr(pp, "_SMEM_BYTES", 4 * 1024)
+    tip_codes = jnp.take(hmm._xmsa_rows, tree["tip_perm"], axis=0)
+    got = pp.site_log_likelihoods_pallas.__wrapped__(   # skip jit cache
+        eig, pi, rates, tip_codes, tree["tip_parent"], tree["tip_length"],
+        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
+        tree["root_slot"], n_slots=n_slots, trees_per_block=8,
+        interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
