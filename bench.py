@@ -44,8 +44,10 @@ def repertoire_mode() -> int:
     per_family = []
     n_slots = None
     for f in range(n_fams):
+        # Family seed stays 0 so shapes match across the stack (bucketed
+        # execution requires it); the posterior ensembles vary per family.
         _, args, n_slots = graft._build_family_inputs(
-            jnp.float32, n_trees=n_trees, seed=0)
+            jnp.float32, n_trees=n_trees, seed=0, tree_seed=f)
         per_family.append(args)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_family)
     trans, consts, rows, naive, tree, eig, pi, rates, keys = stacked

@@ -24,7 +24,8 @@ from linearham_tpu.io.germline import load_gene_map
 from linearham_tpu.io.newick import TreeBatch, batch_trees, parse_newick
 from linearham_tpu.io.partis import ClusterData, load_cluster
 from linearham_tpu.models.decode import Annotation, decode_path
-from linearham_tpu.ops.ffbs import SampledPath, sample_path
+from linearham_tpu.ops.ffbs import (SampledPath, sample_path,
+                                    sample_paths_batch)
 from linearham_tpu.ops.forward import forward
 from linearham_tpu.ops.gtr import gamma_category_rates, gtr_eigen
 from linearham_tpu.ops.pruning import site_log_likelihoods
@@ -366,15 +367,9 @@ class PhyloHMM:
 
         self._key, subkey = jax.random.split(self._key)
         keys = jax.random.split(subkey, n)
-
-        @jax.jit
-        def sampler(keys, trans, cache):
-            return jax.vmap(
-                lambda k: sample_path(k, trans, cache, heavy)
-            )(keys)
-
         paths = jax.tree.map(
-            np.asarray, sampler(keys, self._trans, cache))
+            np.asarray,
+            sample_paths_batch(keys, self._trans, cache, heavy))
         return [
             self._decode(jax.tree.map(lambda a: a[i], paths), 0)
             for i in range(n)

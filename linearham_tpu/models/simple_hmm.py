@@ -18,7 +18,7 @@ from linearham_tpu.compiler.state_space import build_state_space
 from linearham_tpu.io.germline import load_gene_map
 from linearham_tpu.io.partis import ClusterData, load_cluster
 from linearham_tpu.models.decode import Annotation, decode_path
-from linearham_tpu.ops.ffbs import sample_path
+from linearham_tpu.ops.ffbs import sample_path, sample_paths_batch
 from linearham_tpu.ops.forward import forward
 
 
@@ -94,15 +94,8 @@ class SimpleHMM:
         _, cache = self._run_forward()
         self._key, subkey = jax.random.split(self._key)
         keys = jax.random.split(subkey, n)
-        heavy_flag = self.space.is_heavy
-
-        @jax.jit
-        def sampler(keys, trans, cache):
-            return jax.vmap(
-                lambda k: sample_path(k, trans, cache, heavy_flag)
-            )(keys)
-
-        paths = sampler(keys, self._trans, cache)
+        paths = sample_paths_batch(
+            keys, self._trans, cache, self.space.is_heavy)
         paths = jax.tree.map(np.asarray, paths)
         heavy = self.space.is_heavy
         return [

@@ -14,6 +14,7 @@ tests/test_ffbs.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple, Optional
 
 import jax
@@ -112,3 +113,13 @@ def sample_path(
         dj_idx=dj_idx,
         jgerm_idx=jgerm_idx,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("heavy",))
+def sample_paths_batch(keys, trans: Dict, cache: ForwardCache, heavy: bool):
+    """n independent FFBS draws vmapped over keys (one compiled program).
+
+    Module-level and jitted once so repeated ``sample_annotations`` calls
+    hit the compilation cache instead of retracing a fresh closure.
+    """
+    return jax.vmap(lambda k: sample_path(k, trans, cache, heavy))(keys)

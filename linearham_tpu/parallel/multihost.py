@@ -14,14 +14,27 @@ Scaling is therefore embarrassingly parallel by construction: the ≥80%
 1-chip→2-host efficiency target reduces to keeping per-chip batches full
 (bucket families so stacked shapes match; see parallel/repertoire.py).
 
-Typical multi-host driver::
+Because families never need to communicate, the recommended multi-host
+pattern is fully independent per-host execution: each process takes its
+``process_slice`` of the family list and runs ``run_repertoire`` over a
+mesh of its OWN local devices — no global arrays, no cross-host
+device_put, results stay host-local::
 
     from linearham_tpu.parallel import multihost
+    from linearham_tpu.parallel.mesh import make_mesh
 
     multihost.initialize()                  # env-driven (TPU pods: no args)
-    mesh = multihost.global_family_mesh()
     mine = multihost.process_slice(all_family_paths)
+    mesh = make_mesh(len(jax.local_devices()), 1,
+                     devices=jax.local_devices())
     ...load + bucket `mine`, then run_repertoire(tasks, mesh=mesh)
+
+``global_family_mesh`` builds a mesh over ALL devices for the
+single-controller case (one process driving several local chips, or a
+driver that constructs global arrays itself with
+``jax.make_array_from_process_local_data``); do not pass a global mesh to
+``run_repertoire`` from per-process code, since it device_puts host-local
+stacks and reads back full outputs.
 """
 
 from __future__ import annotations
@@ -48,7 +61,8 @@ def initialize(coordinator_address: Optional[str] = None,
             process_id=process_id,
         )
     except RuntimeError as exc:  # already initialized -> idempotent
-        if "already" not in str(exc).lower():
+        msg = str(exc).lower()
+        if "already" not in msg and "once" not in msg:
             raise
 
 

@@ -81,7 +81,9 @@ def write_git_stamp(outdir: str) -> None:
     # Only trust git when the package directory itself is the checkout;
     # a site-packages install nested inside some unrelated repository must
     # not stamp that repository's commit.
-    if os.path.isdir(os.path.join(pkg_dir, ".git")):
+    # .git is a directory in a normal checkout and a FILE in worktrees
+    # and submodules; both are real checkouts.
+    if os.path.exists(os.path.join(pkg_dir, ".git")):
         for cmd in (["git", "rev-parse", "HEAD"],
                     ["git", "describe", "--dirty", "--always"]):
             try:

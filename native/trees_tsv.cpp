@@ -96,10 +96,11 @@ extern "C" int lh_parse_trees_tsv(
   long row = 0;
   const char* line = nl + 1;
   while (line < end) {
-    const char* le = static_cast<const char*>(
+    const char* nl2 = static_cast<const char*>(
         memchr(line, '\n', static_cast<size_t>(end - line)));
-    if (!le) le = end;
-    const char* next = le + 1;
+    const char* le = nl2 ? nl2 : end;
+    // One past the newline, but never past one-past-the-end (UB).
+    const char* next = nl2 ? nl2 + 1 : end;
     while (le > line && le[-1] == '\r') --le;  // CRLF line endings
     if (le > line) {  // skip blank lines
       if (row >= max_rows) {
