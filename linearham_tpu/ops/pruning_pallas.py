@@ -170,8 +170,12 @@ def _kernel(
         lik = sum(pi_ref[tb, i] * root[:, i, :] for i in range(4))
         per_rate = jnp.log(lik) + scale[...]               # [R, Xb]
         mx = jnp.max(per_rate, axis=0, keepdims=True)      # [1, Xb]
+        # Zero-likelihood sites (e.g. conflicting tips across a length-0
+        # edge) make every per_rate entry -inf; subtracting a finite 0
+        # instead of -inf keeps exp() at 0 so the mix is -inf, not NaN.
+        safe_mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
         mix = mx + jnp.log(
-            jnp.sum(jnp.exp(per_rate - mx), axis=0, keepdims=True))
+            jnp.sum(jnp.exp(per_rate - safe_mx), axis=0, keepdims=True))
         out_ref[pl.ds(tb, 1), :] = mix - jnp.log(
             jnp.asarray(n_rates, jnp.float32))
 

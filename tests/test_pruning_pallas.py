@@ -134,3 +134,57 @@ def test_kernel_blocked_paths_match(monkeypatch):
         interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+
+def test_kernel_single_rate_and_zero_branches():
+    """R=1 shapes and t=0 edges with conflicting tips (-inf sites) must
+    agree with the jnp path."""
+    fam = make_family(n_seqs=4, seed=11)
+    hmm = PhyloHMM.from_parts(
+        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
+        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
+    )
+    samples = make_tree_samples(fam, 3, seed=11)
+    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 1)
+
+    def to_dev(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating):
+            return jnp.asarray(a, jnp.float32)
+        return jnp.asarray(a)
+
+    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
+    # Zero every branch: identity transitions, so any site where two tips
+    # under a cherry disagree has exactly zero likelihood.
+    tree["tip_length"] = jnp.zeros_like(tree["tip_length"])
+    tree["edge_length"] = jnp.zeros_like(tree["edge_length"])
+    eig = jax.tree.map(to_dev, eig)
+    pi, rates = to_dev(samples.pi), to_dev(rates)
+
+    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
+                 eparent, elen, root):
+        return site_log_likelihoods(
+            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
+            echild, eparent, elen, root, n_slots)
+
+    want = np.asarray(jax.vmap(per_tree)(
+        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
+        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
+        tree["edge_length"], tree["root_slot"]))
+
+    tip_codes = jnp.take(hmm._xmsa_rows, tree["tip_perm"], axis=0)
+    got = np.asarray(site_log_likelihoods_pallas(
+        eig, pi, rates, tip_codes, tree["tip_parent"], tree["tip_length"],
+        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
+        tree["root_slot"], n_slots=n_slots, interpret=True))
+
+    assert np.isneginf(want).any()          # the scenario actually fires
+    # Whether an impossible site lands at exactly -inf or at log of the
+    # ~1e-7 eigenbasis round-trip residual (~-30) is f32 implementation
+    # noise; the contract is: no NaNs, impossible sites hugely negative,
+    # possible sites matching.
+    assert not np.isnan(got).any()
+    impossible = want < -15
+    assert (got[impossible] < -15).all()
+    ok = ~impossible
+    np.testing.assert_allclose(got[ok], want[ok], rtol=2e-4, atol=2e-4)
