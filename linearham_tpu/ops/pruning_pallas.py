@@ -22,14 +22,19 @@ and the tree batch is chunked so the per-tree SMEM topology tables stay
 under the ~1MB SMEM budget.  Tip codes are laid out [n_tips, T, X] so the
 post-order loops index only leading (untiled) dimensions.
 
-Per-edge transition matrices are never formed: messages propagate through
-the GTR eigenbasis,
+Per-edge transition matrices ARE formed — but as tiny [R, 4, 4] tensors,
+not per-site ones:
 
-    msg = U @ (expd ⊙ (U^-1 @ p)),    expd = exp(lam * t * rate),
+    P = max(U @ diag(exp(lam * t * rate)) @ U^-1, 0)
 
-with U / U^-1 elements read as scalars and broadcast against [R, X] rows
-(pure VPU work; a 4x4 contraction would waste a padded 128x128 MXU pass),
-and expd computed in-kernel from the SMEM branch length (one [R, 4] exp).
+costs a handful of sub-register ops per edge, and then the per-site
+propagation is a single 4-term broadcast-FMA chain
+
+    msg[r, i, x] = sum_j P[r, i, j] * p[r, j, x]
+
+(16 R*Xb FLOPs/edge vs 36 for the factored two-contraction form; pure VPU
+work — a 4x4 contraction would waste a padded 128x128 MXU pass).  Clamping
+P itself at 0 also kills eigenbasis-roundoff negatives at the source.
 
 All trees in a batch share the tip label set (TreeBatch contract,
 io/newick.py); padded edges point child and parent at the sink slot with
@@ -46,8 +51,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Cap on the per-tree partials scratch buffer; Xb shrinks to fit.
-_SCRATCH_BYTES = 4 * 1024 * 1024
+# Cap on the per-tree partials scratch buffer; Xb shrinks to fit.  Wide
+# blocks amortize the serial post-order loop over more lanes (one pass over
+# the topology instead of one per site block); v5e VMEM is 128MB, so 48MB of
+# scratch still leaves room for the double-buffered tip-code blocks.
+_SCRATCH_BYTES = 48 * 1024 * 1024
 # Budget for the scalar-prefetched SMEM tables; the tree chunk shrinks
 # to fit (hardware SMEM is ~1MB).
 _SMEM_BYTES = 512 * 1024
@@ -102,35 +110,38 @@ def _kernel(
 
     for tb in range(trees_per_block):
         t = prog * trees_per_block + tb
-        # Columns of U / U^-1 as [1, 4, 1] for broadcast-FMA against
-        # [R, 1, Xb] slices — no stack/concat relayouts in the hot loop.
-        ucol = [u_ref[tb, :, k:k + 1][None] for k in range(4)]
-        vcol = [uinv_ref[tb, :, j:j + 1][None] for j in range(4)]
-        vrowsum = vcol[0] + vcol[1] + vcol[2] + vcol[3]
+        # Rank-1 eigen factors outer[k][i,j] = u[i,k]*uinv[k,j], built once
+        # per tree; each edge's probability matrix is their expd-weighted
+        # sum — a few sub-register ops, amortized over every site lane.
+        outer = [
+            (u_ref[tb, :, k:k + 1] * uinv_ref[tb, k:k + 1, :])[None]
+            for k in range(4)
+        ]                                                  # 4x [1, 4, 4]
         lam_row = lam_ref[tb:tb + 1, :]                    # [1, 4]
         rates_col = rates_ref[tb:tb + 1, :].reshape(R, 1)  # [R, 1]
 
-        def expd_for(k):
-            """exp(lam * t_k * rate) [R, 4] for tip/edge index k."""
-            return jnp.exp(rates_col * (lengths_ref[k, t] * lam_row))
-
-        def propagate(w):
-            """msg[r,i,x] = max(0, sum_k u[i,k] w[r,k,x])."""
-            msg = sum(ucol[k] * w[:, k:k + 1, :] for k in range(4))
-            return jnp.maximum(msg, 0.0)
+        def pmat(k):
+            """P = max(U diag(exp(lam*t_k*rate)) U^-1, 0), [R, 4, 4]."""
+            expd = jnp.exp(rates_col * (lengths_ref[k, t] * lam_row))
+            # NB: slice-then-expand (a fused slice+newaxis getitem lowers
+            # to a gather, which Mosaic can't lower inside fori_loop).
+            p = sum(
+                expd[:, j:j + 1].reshape(R, 1, 1) * outer[j]
+                for j in range(4))
+            return jnp.maximum(p, 0.0)
 
         partials[...] = jnp.ones_like(partials)
 
         # --- tips: messages straight from one-hot leaves ------------------
         def tip_body(i, _):
             code = codes_ref[pl.ds(i, 1), tb, :][None]     # [1, 1, Xb]
-            # w[k, x] = uinv[k, code[x]] (column gather; code >= 4 (N) ->
-            # all-ones tip = row sums, matching treatAmbiguousAsGap).
-            w = sum(
-                vcol[j] * (code == j).astype(jnp.float32) for j in range(4)
-            ) + vrowsum * (code >= 4).astype(jnp.float32)  # [1, 4, Xb]
-            w = w * expd_for(i)[..., None]                 # [R, 4, Xb]
-            msg = propagate(w)
+            pm = pmat(i)
+            # msg[r,i,x] = P[r,i,code[x]]; code >= 4 (N) -> exact ones
+            # (treatAmbiguousAsGap: ambiguous tips contribute nothing).
+            msg = sum(
+                pm[:, :, j:j + 1] * (code == j).astype(jnp.float32)
+                for j in range(4)
+            ) + (code >= 4).astype(jnp.float32)            # [R, 4, Xb]
             p = topo_ref[i, t]
             partials[pl.ds(p, 1)] = partials[pl.ds(p, 1)] * msg[None]
             return 0
@@ -153,9 +164,9 @@ def _kernel(
             c = topo_ref[n_tips + e, t]
             pnt = topo_ref[n_tips + n_edges + e, t]
             pc = partials[pl.ds(c, 1)][0]                  # [R, 4, Xb]
-            w = sum(vcol[j] * pc[:, j:j + 1, :] for j in range(4))
-            w = w * expd_for(n_tips + e)[..., None]
-            msg = propagate(w)
+            pm = pmat(n_tips + e)
+            msg = sum(
+                pm[:, :, j:j + 1] * pc[:, j:j + 1, :] for j in range(4))
             upd = partials[pl.ds(pnt, 1)][0] * msg
             normed, logm = renorm(upd)
             partials[pl.ds(pnt, 1)] = normed[None]
