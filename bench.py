@@ -89,9 +89,108 @@ def repertoire_mode() -> int:
     return 0
 
 
+def scaling_mode() -> int:
+    """BENCH_MODE=scaling: multi-device scaling on the virtual CPU mesh.
+
+    Only one real TPU chip is attached, so the multi-device path runs on
+    ``--xla_force_host_platform_device_count`` CPU devices.  The virtual
+    devices share the host's physical cores, which makes a compute-bound
+    weak-scaling number meaningless (total FLOPs grow with device count,
+    cores do not).  What IS measurable here is the device-count-dependent
+    term: partitioning/collective overhead.  The repertoire hot path shards
+    the family axis with ZERO collectives (parallel/mesh.py), so a fixed
+    total workload run at 1/2/4/8 devices should take constant wall time;
+    efficiency(n) = t(1)/t(n) isolates any sharding overhead.  Combined
+    with the zero-collective program structure this is the simulated
+    evidence behind BASELINE.md's >=80% 1-chip -> 2-host target.
+
+    Writes SCALING_r.json with the per-size table.
+    """
+    n_max = int(os.environ.get("BENCH_DEVICES", "8"))
+    n_trees = int(os.environ.get("BENCH_TREES", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    F = n_max  # total families, fixed across device counts
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_max}"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    import __graft_entry__ as graft
+    from linearham_tpu.parallel.mesh import (make_mesh, shard_family_batch,
+                                             sharded_pipeline)
+
+    per_family = []
+    n_slots = None
+    for f in range(F):
+        _, args, n_slots = graft._build_family_inputs(
+            jnp.float32, n_trees=n_trees, seed=0, tree_seed=f)
+        per_family.append(args)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_family)
+
+    sizes = [n for n in (1, 2, 4, 8) if n <= n_max]
+    table = {}
+    for n in sizes:
+        mesh = make_mesh(n, 1, devices=jax.devices()[:n])
+        inputs = shard_family_batch(mesh, *stacked)
+        step = sharded_pipeline(mesh, heavy=True, n_slots=n_slots)
+        out = step(*inputs)
+        jax.block_until_ready(out)           # compile + warm-up
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = step(*inputs)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        t = min(times)
+        table[n] = {"wall_s": round(t, 4),
+                    "trees_per_sec": round(F * n_trees / t, 1)}
+
+    speedup = {n: round(table[1]["wall_s"] / table[n]["wall_s"], 3)
+               for n in sizes}
+    # The virtual devices share the host's physical cores, so the hardware
+    # roof for fixed-work speedup is min(n_devices, cores); efficiency is
+    # measured against that roof (>=1.0 means the sharded program uses the
+    # cores at least as well as single-device XLA intra-op parallelism,
+    # i.e. zero sharding overhead).
+    cores = os.cpu_count() or 1
+    n_top = sizes[-1]
+    value = round(speedup[n_top] / min(n_top, cores), 3)
+    result = {
+        "metric": f"scaling_efficiency_vs_core_roof_{n_top}dev",
+        "value": value,
+        "unit": "ratio",
+        "vs_baseline": round(value / 0.8, 3),
+    }
+    print(json.dumps(result))
+    detail = {"table": table, "speedup_vs_1dev": speedup,
+              "total_families": F, "trees_per_family": n_trees,
+              "host_cores": cores, "result": result}
+    with open("SCALING_r.json", "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"# scaling {detail}", file=sys.stderr)
+    return 0
+
+
+def _enable_cache() -> None:
+    from linearham_tpu.utils.runtime import enable_persistent_cache
+
+    enable_persistent_cache()
+
+
 def main() -> int:
+    _enable_cache()
     if os.environ.get("BENCH_MODE") == "repertoire":
         return repertoire_mode()
+    if os.environ.get("BENCH_MODE") == "scaling":
+        return scaling_mode()
     n_trees = int(os.environ.get("BENCH_TREES", "1024"))
     n_seqs = int(os.environ.get("BENCH_SEQS", "10"))
     reps = int(os.environ.get("BENCH_REPS", "5"))

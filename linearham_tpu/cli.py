@@ -31,6 +31,11 @@ def _base_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0, help="RNG seed")
     p.add_argument("--num-rates", type=int, default=1,
                    help="number of gamma rate categories")
+    p.add_argument("--precision", choices=["f32", "f64", "auto"],
+                   default="auto",
+                   help="compute precision: f32 (production TPU, Pallas "
+                        "pruning kernel), f64 (reference-conformance "
+                        "numerics); auto = f32 on TPU, f64 elsewhere")
 
 
 def _phylo_args(p: argparse.ArgumentParser) -> None:
@@ -95,18 +100,23 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     from linearham_tpu.models.phylo_hmm import PhyloHMM
+    from linearham_tpu.utils.runtime import enable_persistent_cache, \
+        resolve_dtype
+
+    enable_persistent_cache()
+    dtype = resolve_dtype(args.precision)
 
     if args.subcommand == "compute-logl":
         _validate_gtr(args)
         hmm = PhyloHMM(args.yaml_path, args.cluster_ind, args.hmm_param_dir,
-                       seed=args.seed)
+                       seed=args.seed, dtype=dtype)
         hmm.init_phylo_parameters(args.newick_path, args.er, args.pi,
                                   args.alpha, args.num_rates)
         print(f"{hmm.log_likelihood():.6g}")
     elif args.subcommand == "sample":
         _validate_gtr(args)
         hmm = PhyloHMM(args.yaml_path, args.cluster_ind, args.hmm_param_dir,
-                       seed=args.seed)
+                       seed=args.seed, dtype=dtype)
         hmm.init_phylo_parameters(args.newick_path, args.er, args.pi,
                                   args.alpha, args.num_rates)
         for ann in hmm.sample_annotations(args.N):
@@ -118,6 +128,7 @@ def main(argv=None) -> int:
             args.yaml_path, args.cluster_ind, args.hmm_param_dir,
             args.input_path, args.output_path, args.num_rates,
             seed=args.seed, profile=args.profile, trace_dir=args.trace_dir,
+            precision=args.precision,
         )
     return 0
 

@@ -210,6 +210,17 @@ def phylo_map_step(
     return viterbi(trans, emis, heavy)
 
 
+# Module-level jits: per-call jax.jit wrappers would retrace on every
+# invocation (the reference's --sample explicitly caches its forward pass,
+# src/linearham.cpp:384-386); hoisting shares the trace cache process-wide.
+phylo_step_jit = jax.jit(phylo_step, static_argnames=("heavy", "n_slots"))
+phylo_emissions_jit = jax.jit(
+    phylo_emissions, static_argnames=("heavy", "n_slots"))
+forward_jit = jax.jit(forward, static_argnames=("heavy",))
+phylo_map_step_jit = jax.jit(
+    phylo_map_step, static_argnames=("heavy", "n_slots"))
+
+
 @dataclass
 class PhyloParams:
     er: List[float]
@@ -223,7 +234,7 @@ class PhyloHMM:
     """Phylo-HMM over one clonal family."""
 
     def __init__(self, yaml_path: str, cluster_ind: int,
-                 hmm_param_dir: str, seed: int = 0, dtype=jnp.float64):
+                 hmm_param_dir: str, seed: int = 0, dtype=None):
         cluster = load_cluster(yaml_path, cluster_ind)
         genes = load_gene_map(hmm_param_dir)
         self._setup(cluster, genes,
@@ -233,7 +244,7 @@ class PhyloHMM:
 
     @classmethod
     def from_parts(cls, locus, flexbounds, relpos, genes, msa, unique_ids,
-                   n_sites, seed: int = 0, dtype=jnp.float64) -> "PhyloHMM":
+                   n_sites, seed: int = 0, dtype=None) -> "PhyloHMM":
         """Build directly from in-memory data (synthetic families, tests)."""
         self = cls.__new__(cls)
         cluster = ClusterData(
@@ -247,6 +258,10 @@ class PhyloHMM:
 
     def _setup(self, cluster: ClusterData, genes, msa: np.ndarray,
                seed: int, dtype) -> None:
+        if dtype is None:
+            from linearham_tpu.utils.runtime import resolve_dtype
+
+            dtype = resolve_dtype(None)
         self.cluster = cluster
         self.genes = genes
         self.space = build_state_space(
@@ -314,9 +329,7 @@ class PhyloHMM:
         tb = self._tree_batch
         tree, eig, pi, rates = self._ensemble_inputs()
 
-        loglik, xmsa_emission, path = jax.jit(
-            phylo_step, static_argnames=("heavy", "n_slots")
-        )(
+        loglik, xmsa_emission, path = phylo_step_jit(
             self._trans, self._consts, self._xmsa_rows, self._naive_bases,
             tree, eig, pi, rates, sample_key,
             heavy=self.space.is_heavy, n_slots=tb.n_slots,
@@ -352,16 +365,12 @@ class PhyloHMM:
         tree, eig, pi, rates = self._ensemble_inputs()
         heavy = self.space.is_heavy
 
-        emis, site_ll = jax.jit(
-            phylo_emissions, static_argnames=("heavy", "n_slots")
-        )(
+        emis, site_ll = phylo_emissions_jit(
             self._consts, self._xmsa_rows, self._naive_bases,
             tree, eig, pi, rates,
             heavy=heavy, n_slots=tb.n_slots,
         )
-        loglik, cache = jax.jit(
-            forward, static_argnames=("heavy",)
-        )(self._trans, emis, heavy=heavy)
+        loglik, cache = forward_jit(self._trans, emis, heavy=heavy)
         self._loglik = np.asarray(loglik)
         self._xmsa_emission = np.asarray(jnp.exp(site_ll))
 
@@ -379,9 +388,7 @@ class PhyloHMM:
         """The MAP (Viterbi) V(D)J annotation under the current tree."""
         tb = self._tree_batch
         tree, eig, pi, rates = self._ensemble_inputs()
-        score, path = jax.jit(
-            phylo_map_step, static_argnames=("heavy", "n_slots")
-        )(
+        score, path = phylo_map_step_jit(
             self._trans, self._consts, self._xmsa_rows, self._naive_bases,
             tree, eig, pi, rates,
             heavy=self.space.is_heavy, n_slots=tb.n_slots,

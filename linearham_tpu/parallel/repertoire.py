@@ -69,9 +69,32 @@ def _stack_bucket(tasks: List[FamilyTask], num_rates: int, dtype):
     heavy = hmms[0].space.is_heavy
     preps = [prepare_ensemble(t.hmm, t.samples, num_rates) for t in tasks]
 
-    T = {p[2].shape[0] for p in preps}
-    if len(T) != 1:
-        raise ValueError("all families in a batch need equal tree counts")
+    # Real RevBayes ensembles vary in size per family; pad every family's
+    # tree axis to the bucket maximum by repeating its last sample (the
+    # duplicates are dead weight -- run_repertoire slices results to each
+    # family's true count).
+    T_max = max(p[2].shape[0] for p in preps)
+
+    def pad_trees(a: np.ndarray, t_own: int) -> np.ndarray:
+        if t_own == T_max:
+            return a
+        idx = np.minimum(np.arange(T_max), t_own - 1)
+        return a[idx]
+
+    preps = [
+        (
+            {k: pad_trees(v, p[2].shape[0]) for k, v in p[0].items()},
+            jax.tree.map(
+                lambda a: pad_trees(np.asarray(a), p[2].shape[0]), p[1]),
+            pad_trees(p[2], p[2].shape[0]),
+            p[3],
+        )
+        for p in preps
+    ]
+    pi_list = [
+        pad_trees(np.asarray(t.samples.pi), t.samples.n_samples)
+        for t in tasks
+    ]
 
     def gather(fn):
         return [fn(h) for h in hmms]
@@ -187,7 +210,7 @@ def _stack_bucket(tasks: List[FamilyTask], num_rates: int, dtype):
     eig = jax.tree.map(
         lambda *xs: np.stack(xs), *[p[1] for p in preps])
     rates = np.stack([p[2] for p in preps])
-    pi = np.stack([t.samples.pi for t in tasks])
+    pi = np.stack(pi_list)
     return trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates, \
         n_slots
 

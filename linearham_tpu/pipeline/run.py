@@ -23,7 +23,7 @@ import numpy as np
 from linearham_tpu.io.newick import batch_trees, parse_newick
 from linearham_tpu.io.trees_tsv import TreeSamples, load_tree_samples
 from linearham_tpu.models.decode import Annotation
-from linearham_tpu.models.phylo_hmm import PhyloHMM, phylo_step
+from linearham_tpu.models.phylo_hmm import PhyloHMM, phylo_step_jit
 from linearham_tpu.ops.gtr import gamma_category_rates_batch, gtr_eigen
 
 _COMMENT_RE = re.compile(r"\[[^\]]*\]")
@@ -93,17 +93,21 @@ def run_pipeline_arrays(
         dev_tree_full, eig_full, rates, n_slots = prepare_ensemble(
             hmm, samples, num_rates)
 
-    step = jax.jit(phylo_step, static_argnames=("heavy", "n_slots"))
+    step = phylo_step_jit
     key = jax.random.PRNGKey(seed)
 
     logliks = np.zeros(T)
     paths = []
+    first_chunk = True
     with maybe_trace(trace_dir):
         for start in range(0, T, chunk_size):
             key, subkey = jax.random.split(key)
             with timer.stage("device_transfer"):
                 tree_c = {
-                    k: jnp.asarray(_chunk_pad([v], start, chunk_size, T)[0])
+                    k: jnp.asarray(
+                        _chunk_pad([v], start, chunk_size, T)[0],
+                        dtype if np.issubdtype(v.dtype, np.floating)
+                        else None)
                     for k, v in dev_tree_full.items()
                 }
                 eig_c = jax.tree.map(
@@ -116,7 +120,13 @@ def run_pipeline_arrays(
                     jnp.asarray(x, dtype) for x in
                     _chunk_pad([samples.pi, rates], start, chunk_size, T)
                 )
-            with timer.stage("device_step"):
+            # The first chunk pays compile (unless the persistent cache
+            # hits); report it as its own stage so --profile separates
+            # compile cost from steady-state throughput.
+            stage = "compile_and_first_step" if first_chunk \
+                else "device_step"
+            first_chunk = False
+            with timer.stage(stage):
                 loglik_c, _, path_c = step(
                     hmm._trans, hmm._consts, hmm._xmsa_rows,
                     hmm._naive_bases, tree_c, eig_c, pi_c, rates_c, subkey,
@@ -193,9 +203,19 @@ def run_pipeline(
     chunk_size: int = 256,
     profile: bool = False,
     trace_dir: Optional[str] = None,
+    precision: Optional[str] = None,
 ) -> PipelineResult:
-    """End-to-end: partis YAML + RevBayes TSV -> linearham output TSV."""
-    hmm = PhyloHMM(yaml_path, cluster_ind, hmm_param_dir, seed=seed)
+    """End-to-end: partis YAML + RevBayes TSV -> linearham output TSV.
+
+    ``precision``: f32 (production TPU; the Pallas pruning kernel engages),
+    f64 (CPU conformance), or None/auto (f32 on TPU, f64 elsewhere).
+    """
+    from linearham_tpu.utils.runtime import enable_persistent_cache, \
+        resolve_dtype
+
+    enable_persistent_cache()
+    hmm = PhyloHMM(yaml_path, cluster_ind, hmm_param_dir, seed=seed,
+                   dtype=resolve_dtype(precision))
     samples = load_tree_samples(input_path)
     result = run_pipeline_arrays(hmm, samples, num_rates, seed=seed,
                                  chunk_size=chunk_size,

@@ -169,6 +169,7 @@ def run_family_workflow(
     lineage_unique_ids: Optional[List[str]] = None,
     pfilters: Optional[List[float]] = None,
     indel_reversed_seqs: bool = True,
+    precision: Optional[str] = None,
 ) -> None:
     wf = Workflow(outdir)
     write_git_stamp(outdir)
@@ -220,7 +221,7 @@ def run_family_workflow(
         "pipeline", [lh_trees], [rb_trees, cluster_yaml],
         lambda: run_pipeline(
             cluster_yaml, 0, hmm_param_dir, rb_trees, lh_trees, num_rates,
-            seed=seed,
+            seed=seed, precision=precision,
         ),
     )
 
@@ -345,7 +346,15 @@ def main(argv=None) -> int:
                    help="flat one-directory-per-combination layout instead "
                         "of nested subdirectories")
     p.add_argument("--pfilters", nargs="*", type=float, default=[0.1])
+    p.add_argument("--precision", choices=["f32", "f64", "auto"],
+                   default="auto",
+                   help="pipeline compute precision (auto = f32 on TPU, "
+                        "f64 elsewhere)")
     args = p.parse_args(argv)
+
+    from linearham_tpu.utils.runtime import enable_persistent_cache
+
+    enable_persistent_cache()
 
     partis_yaml = args.partis_yaml_file
     if partis_yaml is None:
@@ -386,6 +395,7 @@ def main(argv=None) -> int:
         rb_binary=args.rb_binary,
         lineage_unique_ids=args.lineage_unique_ids,
         pfilters=args.pfilters,
+        precision=args.precision,
     )
     run_workflow_grid(args.outdir, grid, fixed,
                       nestly_subdirs=not args.no_nestly_subdirs)
