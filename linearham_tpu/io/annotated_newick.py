@@ -115,6 +115,51 @@ def parse_annotated_newick(text: str) -> AnnotatedNode:
     return root
 
 
+def reroot_at_tip(root: AnnotatedNode, label: str) -> AnnotatedNode:
+    """Reroot so that the named tip hangs directly off a fresh binary root.
+
+    Replicates the reference's ``ape::unroot`` + ``ape::root(outgroup,
+    resolve.root=TRUE)`` before ancestral-state simulation
+    (scripts/run_bootstrap_asr_ess.R:51-53): the old root (if binary) is
+    spliced out with its two edges merged, and the new root has exactly two
+    children -- the tip (keeping its branch length) and the rest of the
+    tree on a zero-length edge.  All tip-to-tip path lengths are preserved,
+    so under a reversible model the likelihood and the joint ancestral law
+    are unchanged.  Restructures in place and returns the new root.
+    """
+    tip = root.find_tip(label)
+    if tip is None:
+        raise ValueError(f"tree has no tip named {label!r}")
+    if tip.parent is None:
+        raise ValueError("cannot reroot a single-tip tree")
+
+    def flipped(n: AnnotatedNode, exclude: AnnotatedNode,
+                new_len: Optional[float]) -> AnnotatedNode:
+        """Re-hang ``n`` as a child (edge length ``new_len``), folding its
+        former parent in as one of its children."""
+        kids = [c for c in n.children if c is not exclude]
+        if n.parent is not None:
+            kids.append(flipped(n.parent, n, n.length))
+        if len(kids) == 1 and n.label is None and not n.annotations:
+            # Splicing out a now-unary old root == ape::unroot's merge of
+            # the root's two edges.
+            k = kids[0]
+            k.length = (k.length or 0.0) + (new_len or 0.0)
+            return k
+        n.children = kids
+        for k in kids:
+            k.parent = n
+        n.length = new_len
+        return n
+
+    rest = flipped(tip.parent, tip, 0.0)
+    new_root = AnnotatedNode()
+    tip.parent = new_root
+    rest.parent = new_root
+    new_root.children = [tip, rest]
+    return new_root
+
+
 def write_annotated_newick(root: AnnotatedNode) -> str:
     """Serialize with node annotations placed before the branch length."""
 

@@ -7,10 +7,13 @@ plus the annotated trees, collapses duplicate annotations, assigns
 ``<base>_all.yaml`` (reference contract: scripts/write_lh_annotations.py).
 
 The reference rebuilds full partis annotation lines via partis' own
-libraries; that package is an external dependency by design, so here the
-output carries the linearham annotation fields plus the original partis
-event verbatim -- everything downstream partis tooling needs to
-re-derive its implicit fields.
+libraries (utils.add_implicit_info); partis stays an external dependency
+by design, so the key implicit fields are re-derived here from the
+germline info carried in the partis YAML: regional bounds and lengths,
+conserved-codon positions, cdr3_length, in-frame/stop/mutated-invariant
+flags, and per-sequence mutation counts/frequencies.  Fields whose inputs
+are absent from a minimal YAML (e.g. no ``germline-info.seqs``) are
+skipped rather than guessed.
 """
 
 from __future__ import annotations
@@ -63,6 +66,103 @@ def _partis_style(row: dict, heavy: bool) -> dict:
     return ann
 
 
+_STOP_CODONS = {"TAA", "TAG", "TGA"}
+
+
+def derive_implicit_fields(ann: dict, germline_info: Optional[dict],
+                           seqs: Optional[List[str]] = None) -> dict:
+    """Re-derive the key partis implicit fields for one annotation line.
+
+    The reference calls partis' ``utils.add_implicit_info`` (reference:
+    scripts/write_lh_annotations.py:70-74); this computes the fields that
+    downstream tooling actually consumes -- ``regional_bounds``,
+    ``lengths``, ``codon_positions``, ``cdr3_length``, ``cdr3_seqs``,
+    ``in_frames``, ``stops``, ``mutated_invariants``, ``n_mutations``,
+    ``mut_freqs`` -- directly from the naive sequence layout plus the
+    germline gene sequences and conserved-codon positions in
+    ``germline-info`` (keys ``seqs``, ``cyst-positions``,
+    ``tryp-positions``/``phen-positions``), skipping any field whose
+    inputs are missing.  Returns the fields added.
+    """
+    gi = germline_info or {}
+    gl_seqs = gi.get("seqs") or {}
+    naive = ann["naive_seq"]
+    heavy = "d_gene" in ann
+    out: dict = {}
+
+    v_gl = gl_seqs.get("v", {}).get(ann["v_gene"])
+    j_gl = gl_seqs.get("j", {}).get(ann["j_gene"])
+    d_gl = gl_seqs.get("d", {}).get(ann.get("d_gene")) if heavy else ""
+
+    fv = len(ann.get("fv_insertion", ""))
+    jf = len(ann.get("jf_insertion", ""))
+    if v_gl is not None and j_gl is not None and (not heavy or
+                                                  d_gl is not None):
+        v_match = len(v_gl) - ann["v_5p_del"] - ann["v_3p_del"]
+        j_match = len(j_gl) - ann["j_5p_del"] - ann["j_3p_del"]
+        d_match = (len(d_gl) - ann["d_5p_del"] - ann["d_3p_del"]) \
+            if heavy else 0
+        vd = len(ann.get("vd_insertion", "") if heavy
+                 else ann.get("vj_insertion", ""))
+        dj = len(ann.get("dj_insertion", "")) if heavy else 0
+        bounds = {"v": (fv, fv + v_match)}
+        pos = fv + v_match + vd
+        if heavy:
+            bounds["d"] = (pos, pos + d_match)
+            pos += d_match + dj
+        bounds["j"] = (pos, pos + j_match)
+        expected_len = pos + j_match + jf
+        if expected_len == len(naive):
+            out["regional_bounds"] = {k: list(v) for k, v in bounds.items()}
+            out["lengths"] = {k: v[1] - v[0] for k, v in bounds.items()}
+
+            # Conserved codons: cysteine in V, tryptophan (igh) /
+            # phenylalanine (igk/igl) in J.
+            cyst = (gi.get("cyst-positions") or {}).get(ann["v_gene"])
+            tryp = (gi.get("tryp-positions") or
+                    gi.get("phen-positions") or {}).get(ann["j_gene"])
+            if cyst is not None and tryp is not None:
+                cp_v = fv + int(cyst) - ann["v_5p_del"]
+                cp_j = bounds["j"][0] + int(tryp) - ann["j_5p_del"]
+                if 0 <= cp_v and cp_j + 3 <= len(naive) and cp_v < cp_j:
+                    out["codon_positions"] = {"v": cp_v, "j": cp_j}
+                    out["cdr3_length"] = cp_j - cp_v + 3
+
+    n_seqs = len(seqs or [])
+    if "cdr3_length" in out:
+        cp_v, cp_j = out["codon_positions"]["v"], out["codon_positions"]["j"]
+        out["cdr3_seqs"] = [s[cp_v:cp_j + 3] for s in (seqs or [])]
+        in_frame = out["cdr3_length"] % 3 == 0
+        out["in_frames"] = [in_frame] * n_seqs
+
+        def has_stop(seq: str) -> bool:
+            for p in range(cp_v, len(seq) - 2, 3):
+                if seq[p:p + 3].upper() in _STOP_CODONS:
+                    return True
+            return False
+
+        out["stops"] = [has_stop(s) for s in (seqs or [])]
+        gl_cyst = v_gl[int(cyst):int(cyst) + 3].upper()
+        gl_tryp = j_gl[int(tryp):int(tryp) + 3].upper()
+        out["mutated_invariants"] = [
+            s[cp_v:cp_v + 3].upper() != gl_cyst
+            or s[cp_j:cp_j + 3].upper() != gl_tryp
+            for s in (seqs or [])
+        ]
+
+    if seqs:
+        n_mut = []
+        for s in seqs:
+            n_mut.append(sum(
+                1 for a, b in zip(s.upper(), naive.upper())
+                if a != b and a != "N" and b != "N"))
+        out["n_mutations"] = n_mut
+        out["mut_freqs"] = [round(m / max(1, len(naive)), 6) for m in n_mut]
+
+    ann.update(out)
+    return out
+
+
 def write_lh_annotations(
     partis_yaml_path: str,
     log_path: str,
@@ -101,10 +201,20 @@ def write_lh_annotations(
         partis_root = yaml.safe_load(fh)
     base_event = partis_root["events"][0]
 
+    member_seqs = []
+    shm = base_event.get("has_shm_indels") or []
+    for i in range(len(base_event.get("unique_ids", []))):
+        key = "indel_reversed_seqs" if (i < len(shm) and shm[i]) \
+            else "input_seqs"
+        if key in base_event:
+            member_seqs.append(base_event[key][i])
+
     out = []
     for entry in sorted(uniq, key=lambda e: -e["count"]):
         ann = dict(base_event)
         ann.update(_partis_style(entry["row"], heavy))
+        derive_implicit_fields(ann, partis_root.get("germline-info"),
+                               seqs=member_seqs)
         ann["logprob"] = math.log(entry["count"] / n)
         ann["tree-info"] = {"linearham": {"trees": entry["trees"]}}
         out.append(ann)

@@ -24,6 +24,7 @@ import numpy as np
 
 from linearham_tpu.io.annotated_newick import (
     parse_annotated_newick,
+    reroot_at_tip,
     write_annotated_newick,
 )
 from linearham_tpu.io.newick import collapse_unary, tree_arrays_from_node
@@ -79,16 +80,27 @@ def run_bootstrap_asr(
     boot_idx = rng.choice(n, size=n_boot, replace=False, p=probs)
     boot_rows = [rows[i] for i in boot_idx]
 
-    # Weight-adjusted ESS over the numeric posterior columns.
-    ess = {}
+    # Weight-adjusted ESS over the numeric posterior columns.  Rows with
+    # non-finite entries are removed before the autocorrelation fit -- the
+    # reference drops such ROWS, not columns (a -inf LHLogLikelihood once
+    # crashed coda's lm.fit; run_bootstrap_asr_ess.R:36-40).
     w2 = float((probs ** 2).sum())
-    for col in rows[0]:
-        if col in _DROPPED or col in _NON_NUMERIC:
-            continue
-        vals = np.array([float(r[col]) for r in rows])
-        if not np.isfinite(vals).all():
-            continue
-        ess[col] = round(effective_sample_size(vals) / n / w2)
+    num_cols = [c for c in rows[0]
+                if c not in _DROPPED and c not in _NON_NUMERIC]
+    mat = np.array([[float(r[c]) for c in num_cols] for r in rows])
+    finite = np.isfinite(mat).all(axis=1)
+    if not finite.all():
+        import sys
+
+        print(f"WARNING removed {int((~finite).sum())} / {len(rows)} rows "
+              "with nan/inf entries when calculating ess values",
+              file=sys.stderr)
+    mat = mat[finite]
+    ess = {}
+    if len(mat):
+        for j, col in enumerate(num_cols):
+            ess[col] = round(
+                effective_sample_size(mat[:, j]) / len(mat) / w2)
 
     annotated = _asr_annotate(boot_rows, fasta_path, seed, dtype)
 
@@ -124,7 +136,13 @@ def _asr_annotate(boot_rows: List[dict], fasta_path: str, seed: int,
 
     parsed = []
     for r in boot_rows:
-        root = collapse_unary(parse_annotated_newick(r["tree"]))
+        # Reroot at the naive outgroup before simulating ancestors, as the
+        # reference does (run_bootstrap_asr_ess.R:51-53).  Under the
+        # reversible GTR model the joint ancestral law is invariant to the
+        # rooting; this fixes the OUTPUT topology contract (annotated trees
+        # are naive-rooted) for the downstream lineage walk.
+        root = reroot_at_tip(
+            collapse_unary(parse_annotated_newick(r["tree"])), "naive")
         arrays, tip_nodes, internal_nodes = tree_arrays_from_node(root)
         parsed.append((root, arrays, tip_nodes, internal_nodes))
 

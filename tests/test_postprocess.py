@@ -91,6 +91,102 @@ def test_bootstrap_asr_end_to_end(pipeline_out):
     assert os.path.exists(base + ".ess")
 
 
+def test_ess_drops_inf_rows(pipeline_out, tmp_path):
+    """Rows with non-finite entries are dropped before the ESS fit; the
+    affected COLUMNS survive (reference: run_bootstrap_asr_ess.R:36-40)."""
+    tmp, out_tsv, fasta = pipeline_out
+    with open(out_tsv) as fh:
+        lines = fh.read().splitlines()
+    header = lines[0].split("\t")
+    lw = header.index("LogWeight")
+    for i in (2, 5):  # post-burn-in rows
+        cells = lines[i].split("\t")
+        cells[lw] = "-inf"
+        lines[i] = "\t".join(cells)
+    bad_tsv = tmp_path / "with_inf.trees"
+    bad_tsv.write_text("\n".join(lines) + "\n")
+
+    result = run_bootstrap_asr(str(bad_tsv), str(fasta),
+                               burnin_frac=0.0, subsamp_frac=0.5, seed=0,
+                               output_base=str(tmp_path / "run"))
+    assert "LogWeight" in result.ess
+    assert "LHLogLikelihood" in result.ess
+    assert all(np.isfinite(v) for v in result.ess.values())
+
+
+def test_reroot_at_naive_preserves_distances_and_likelihood():
+    """Rerooting at the naive tip (ape::unroot + root, resolve.root=TRUE)
+    preserves all tip-to-tip path lengths and, under reversible GTR, the
+    tree likelihood (VERDICT round-1 item 6)."""
+    import jax.numpy as jnp
+
+    from linearham_tpu.io.annotated_newick import (parse_annotated_newick,
+                                                   reroot_at_tip,
+                                                   write_annotated_newick)
+    from linearham_tpu.io.newick import collapse_unary, parse_newick
+    from linearham_tpu.ops.gtr import gtr_eigen
+    from linearham_tpu.ops.pruning import site_log_likelihoods
+
+    nwk = "((a:0.1,b:0.2):0.3,(naive:0.4,c:0.5):0.6,d:0.7);"
+    rerooted = reroot_at_tip(
+        collapse_unary(parse_annotated_newick(nwk)), "naive")
+    assert len(rerooted.children) == 2
+    assert rerooted.children[0].label == "naive"
+    assert rerooted.children[0].length == pytest.approx(0.4)
+    assert rerooted.children[1].length == 0.0
+    out_nwk = write_annotated_newick(rerooted)
+
+    def path_lengths(newick):
+        root = collapse_unary(parse_annotated_newick(newick))
+        tips = {n.label: n for n in root.walk() if n.is_tip}
+        out = {}
+        for x in tips:
+            for y in tips:
+                if x < y:
+                    ax = {id(n): n for n in tips[x].lineage_to_root()}
+                    path = 0.0
+                    n = tips[y]
+                    while id(n) not in ax:
+                        path += n.length or 0.0
+                        n = n.parent
+                    m = tips[x]
+                    while m is not n:
+                        path += m.length or 0.0
+                        m = m.parent
+                    out[(x, y)] = path
+        return out
+
+    before, after = path_lengths(nwk), path_lengths(out_nwk)
+    assert before.keys() == after.keys()
+    for k in before:
+        assert after[k] == pytest.approx(before[k], abs=1e-12), k
+
+    # Reversible-GTR likelihood invariance on random tip data.
+    rng = np.random.default_rng(0)
+    seqs = {lab: rng.integers(0, 4, size=8) for lab in "ab" + "c" + "d"}
+    seqs["naive"] = rng.integers(0, 4, size=8)
+    er = [1.2, 0.8, 1.5, 0.9, 1.1, 0.7]
+    pi = [0.17, 0.19, 0.25, 0.39]
+    eig = gtr_eigen([er], [pi])
+    eig1 = type(eig)(*[jnp.asarray(np.asarray(a)[0]) for a in eig])
+
+    def loglik(newick):
+        arr = parse_newick(newick)
+        tips = jnp.asarray(
+            np.stack([seqs[lab] for lab in arr.tip_labels]), jnp.int32)
+        ll = site_log_likelihoods(
+            eig1, jnp.asarray(pi), jnp.asarray([1.0]), tips,
+            jnp.asarray(arr.tip_parent),
+            jnp.asarray(arr.tip_length, jnp.float64),
+            jnp.asarray(arr.edge_child), jnp.asarray(arr.edge_parent),
+            jnp.asarray(arr.edge_length, jnp.float64),
+            jnp.asarray(arr.n_internal - 1), arr.n_internal,
+        )
+        return float(np.asarray(ll).sum())
+
+    assert loglik(out_nwk) == pytest.approx(loglik(nwk), abs=1e-9)
+
+
 def test_naive_and_lineage_tabulation(pipeline_out):
     tmp, out_tsv, fasta = pipeline_out
     base = str(tmp / "linearham_run")
@@ -115,6 +211,48 @@ def test_naive_and_lineage_tabulation(pipeline_out):
     assert os.path.exists(lineage_base + ".dnamap")
     assert os.path.exists(lineage_base + ".pfilter0.0.dot")
     assert "0" in out  # the seed sequence is present by name
+
+
+def test_derive_implicit_fields():
+    """Partis implicit fields re-derived from germline info (reference:
+    scripts/write_lh_annotations.py:70-74 via partis add_implicit_info)."""
+    from linearham_tpu.postprocess.annotations import derive_implicit_fields
+
+    v_gl, d_gl, j_gl = "ACGTGTTGCA", "GGGCC", "ATTGGATT"
+    gi = {
+        "locus": "igh",
+        "seqs": {"v": {"IGHVx": v_gl}, "d": {"IGHDx": d_gl},
+                 "j": {"IGHJx": j_gl}},
+        "cyst-positions": {"IGHVx": 6},
+        "tryp-positions": {"IGHJx": 2},
+    }
+    naive = "NN" + v_gl[:9] + "A" + d_gl[1:4] + "T" + j_gl[1:7] + "N"
+    assert len(naive) == 23
+    ann = {
+        "naive_seq": naive, "v_gene": "IGHVx", "d_gene": "IGHDx",
+        "j_gene": "IGHJx", "v_5p_del": 0, "v_3p_del": 1,
+        "d_5p_del": 1, "d_3p_del": 1, "j_5p_del": 1, "j_3p_del": 1,
+        "fv_insertion": "NN", "vd_insertion": "A", "dj_insertion": "T",
+        "jf_insertion": "N",
+    }
+    seq = naive[:3] + "A" + naive[4:]  # one point mutation
+    out = derive_implicit_fields(ann, gi, seqs=[seq])
+    assert out["regional_bounds"] == {"v": [2, 11], "d": [12, 15],
+                                      "j": [16, 22]}
+    assert out["lengths"] == {"v": 9, "d": 3, "j": 6}
+    assert out["codon_positions"] == {"v": 8, "j": 17}
+    assert out["cdr3_length"] == 12
+    assert out["in_frames"] == [True]
+    assert out["stops"] == [False]
+    assert out["mutated_invariants"] == [False]
+    assert out["n_mutations"] == [1]
+    assert out["cdr3_seqs"] == [seq[8:20]]
+    assert ann["cdr3_length"] == 12  # fields landed on the line
+
+    # Minimal germline info (the reference fixtures) -> skip gracefully.
+    ann2 = dict(ann)
+    out2 = derive_implicit_fields(ann2, {"locus": "igh"}, seqs=[seq])
+    assert "cdr3_length" not in out2 and out2["n_mutations"] == [1]
 
 
 def test_write_lh_annotations(pipeline_out, fixtures_dir):
