@@ -196,6 +196,82 @@ def _add_padding_states(
         region.site_inds.append(site)
 
 
+def _validate_inputs(
+    locus: str,
+    fb: Dict[str, Range],
+    relpos: Dict[str, int],
+    genes: Dict[str, GermlineGene],
+    heavy: bool,
+) -> None:
+    """Actionable input validation (reference style, src/HMM.cpp:34-43).
+
+    Degenerate Smith-Waterman summaries -- missing/reversed windows,
+    out-of-order regions, zero-width junction windows, genes absent from
+    the parameter directory -- fail here with messages naming the bad
+    field instead of crashing the compiled forward pass downstream.
+    """
+    required = (["v_l", "v_r", "d_l", "d_r", "j_l", "j_r"] if heavy
+                else ["v_l", "v_r", "j_l", "j_r"])
+    missing = [k for k in required if k not in fb]
+    if missing:
+        raise ValueError(
+            f"flexbounds lacks window(s) {missing} for locus {locus!r}; "
+            "run 'partis get-linearham-info' to produce the full "
+            "linearham-info block")
+    for k in required:
+        lo, hi = fb[k]
+        if lo < 0 or hi < lo:
+            raise ValueError(
+                f"flexbounds[{k!r}] = ({lo}, {hi}) is not a valid "
+                "(min, max) site window")
+    for left, right in zip(required, required[1:]):
+        if fb[right][0] < fb[left][0] or fb[right][1] < fb[left][1]:
+            raise ValueError(
+                f"flexbounds windows out of order: {left}={fb[left]} vs "
+                f"{right}={fb[right]} (regions must be left-to-right)")
+    junctions = [("v_r", "d_l"), ("d_r", "j_l")] if heavy \
+        else [("v_r", "j_l")]
+    for left, right in junctions:
+        if fb[right][1] - fb[left][0] < 1:
+            raise ValueError(
+                f"the {left}..{right} junction window "
+                f"[{fb[left][0]}, {fb[right][1]}) has zero width; "
+                "linearham needs at least one junction site between "
+                "matched germline regions (check the Smith-Waterman "
+                "flexbounds from partis)")
+    germ_windows = [("v_l", "v_r"), ("j_l", "j_r")] + (
+        [("d_l", "d_r")] if heavy else [])
+    for left, right in germ_windows:
+        if fb[right][0] - fb[left][1] < 1:
+            raise ValueError(
+                f"the {left[0].upper()} germline region "
+                f"[{fb[left][1]}, {fb[right][0]}) has zero width; the "
+                "collapsed-region HMM needs at least one matched germline "
+                "site per segment (the reference factorization has the "
+                "same requirement)")
+    unknown = [g for g in relpos if g not in genes]
+    if unknown:
+        raise ValueError(
+            f"relpos names germline gene(s) {unknown} with no parameter "
+            "file in the --hmm-param-dir (expected "
+            "IG[HKL][VDJ]*_star_*.yaml files)")
+    # Each gene must span its segment's occupied sites, or germline-position
+    # lookups would index past the gene body.
+    spans = {"V": ("v_l", "v_r"), "J": ("j_l", "j_r")}
+    if heavy:
+        spans["D"] = ("d_l", "d_r")
+    for gname, rp in relpos.items():
+        gene = genes[gname]
+        if gene.gtype == "D" and not heavy:
+            continue
+        left, right = spans[gene.gtype]
+        if rp > fb[left][1] or rp + gene.length < fb[right][0]:
+            raise ValueError(
+                f"gene {gname!r} (relpos {rp}, length {gene.length}) does "
+                f"not span its germline window [{fb[left][1]}, "
+                f"{fb[right][0]}); check relpos/flexbounds consistency")
+
+
 def build_state_space(
     locus: str,
     flexbounds: Dict[str, Range],
@@ -208,6 +284,7 @@ def build_state_space(
         raise ValueError(f"unsupported locus {locus!r}")
 
     fb = {k: (int(v[0]), int(v[1])) for k, v in flexbounds.items()}
+    _validate_inputs(locus, fb, relpos, genes, heavy)
     alphabet = next(iter(genes.values())).alphabet
 
     vpadding = PaddingRegion()

@@ -9,7 +9,7 @@ on down to V (reference semantics: src/HMM.cpp:358-431, 1180-1353).
 Batched over trees: one path per tree per call.  RNG is JAX's counter-based
 PRNG, so sampled paths are reproducible but deliberately NOT bit-identical
 to the reference's std::mt19937 stream; conformance is distributional (see
-tests/test_ffbs.py).
+test_ffbs_samples_true_posterior in tests/test_simple_hmm.py).
 """
 
 from __future__ import annotations

@@ -51,6 +51,13 @@ def _junction_scan(
     emis_log: jnp.ndarray,        # [T, R, S]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the junction recursion; returns (rows_u [R,T,S], u_last, scale)."""
+    if emis_log.shape[1] == 0:
+        # Zero-width junction windows are rejected with an actionable
+        # message at state-space build time (compiler/state_space.py);
+        # this guard keeps the trace error readable if one sneaks through.
+        raise ValueError(
+            "junction emission has zero site rows; the flexbounds collapse "
+            "this junction window to nothing")
     f0_log = jnp.log(germ_u @ germ_junction) + emis_log[:, 0]
     u0, m0 = _normalize(f0_log)
 

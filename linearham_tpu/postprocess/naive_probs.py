@@ -35,23 +35,50 @@ def read_naive_seqs(trees_path: str) -> List[str]:
     return out
 
 
+# Classic WebLogo amino-acid chemistry palette.
+_AA_COLORS = {}
+_AA_COLORS.update({a: "#109648" for a in "GSTYCQN"})   # polar
+_AA_COLORS.update({a: "#255C99" for a in "KRH"})       # basic
+_AA_COLORS.update({a: "#D62839" for a in "DE"})        # acidic
+_AA_COLORS.update({a: "#221E22" for a in "AVLIPWFM"})  # hydrophobic
+
+
 def plot_logo(aa_seqs: List[str], path: str) -> None:
-    """Per-site AA posterior as a stacked-letter probability logo."""
+    """Per-site AA posterior as a WebLogo-style probability logo.
+
+    Letters are glyph outlines scaled so their HEIGHT equals the residue's
+    posterior probability, stacked per site with the most probable residue
+    on top -- the same information content as the reference's ``weblogo``
+    output (scripts/tabulate_naive_probs.py:38-53).
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    from matplotlib.font_manager import FontProperties
+    from matplotlib.patches import PathPatch
+    from matplotlib.textpath import TextPath
+    from matplotlib.transforms import Affine2D
 
+    fp = FontProperties(family="DejaVu Sans", weight="bold")
     n_sites = max(len(s) for s in aa_seqs)
     n = len(aa_seqs)
     fig, ax = plt.subplots(figsize=(max(8, n_sites * 0.25), 3))
     for site in range(n_sites):
         counts = Counter(s[site] for s in aa_seqs if len(s) > site)
         y = 0.0
+        # Stack least -> most probable so the top letter is the mode.
         for aa, c in counts.most_common()[::-1]:
             frac = c / n
-            ax.text(site + 1, y + frac / 2, aa, ha="center", va="center",
-                    fontsize=9, fontweight="bold",
-                    alpha=min(1.0, 0.3 + frac))
+            if frac >= 0.004:
+                tp = TextPath((0, 0), aa, size=1.0, prop=fp)
+                bb = tp.get_extents()
+                tr = (Affine2D()
+                      .translate(-bb.x0, -bb.y0)
+                      .scale(0.9 / bb.width, frac / bb.height)
+                      .translate(site + 0.55, y))
+                ax.add_patch(PathPatch(
+                    tr.transform_path(tp), linewidth=0,
+                    facecolor=_AA_COLORS.get(aa, "#777777")))
             y += frac
     ax.set_xlim(0.2, n_sites + 0.8)
     ax.set_ylim(0, 1.02)

@@ -99,6 +99,7 @@ def make_family(
     j_len: int = 55,
     mutation_rate: float = 0.05,
     seed: int = 0,
+    ambig_rate: float = 0.0,
 ) -> SyntheticFamily:
     """Build one synthetic igh clonal family (~v_len+80 sites)."""
     rng = np.random.default_rng(seed)
@@ -138,6 +139,8 @@ def make_family(
     msa = np.tile(naive, (n_seqs, 1))
     mut = rng.random(msa.shape) < mutation_rate
     msa[mut] = rng.integers(0, 4, size=mut.sum())
+    if ambig_rate > 0:
+        msa[rng.random(msa.shape) < ambig_rate] = 4  # ambiguous N reads
 
     return SyntheticFamily(
         genes=genes, locus="igh", flexbounds=flexbounds, relpos=relpos,
@@ -145,6 +148,130 @@ def make_family(
         unique_ids=[f"seq{i}" for i in range(n_seqs)],
         n_sites=L,
     )
+
+
+def _codes_to_str(codes: np.ndarray) -> str:
+    return "".join((ALPHABET + "N")[c] for c in codes)
+
+
+def write_partis_yaml(
+    family: SyntheticFamily,
+    path: str,
+    shm_indel_ids: Tuple[int, ...] = (),
+    unmutated_ids: Tuple[int, ...] = (),
+    seed: int = 0,
+) -> None:
+    """Materialize a family as a full-schema partis output YAML.
+
+    Produces the realistic ingestion contract a real ``partis partition
+    --extra-annotation-columns linearham-info`` run emits (reference
+    boundary: src/HMM.cpp:27-83 and scripts/write_lh_annotations.py):
+    ``germline-info`` with per-region gene sequences and conserved-codon
+    positions, a ``partitions`` list, and one event with input +
+    indel-reversed sequences, ``has_shm_indels`` variety, duplicates, and
+    the ``linearham-info`` flexbounds/relpos block.
+
+    ``shm_indel_ids``: member indices whose *input* sequence carries a 3-nt
+    insertion (the aligned version goes into ``indel_reversed_seqs``).
+    ``unmutated_ids``: member indices forced identical to the naive
+    sequence (a common real-data case partis emits).
+    """
+    import yaml
+
+    rng = np.random.default_rng(seed)
+    naive = _codes_to_str(family.naive_seq_codes)
+    ids = list(family.unique_ids)
+
+    gl_seqs: Dict[str, Dict[str, str]] = {"v": {}, "d": {}, "j": {}}
+    for name, g in family.genes.items():
+        gl_seqs[g.gtype.lower()][name] = _codes_to_str(g.bases)
+
+    v0 = next(n for n, g in family.genes.items() if g.gtype == "V")
+    cyst = {n: 3 * ((len(s) - 25) // 3) for n, s in gl_seqs["v"].items()}
+    tryp = {n: 9 for n in gl_seqs["j"]}
+
+    input_seqs, reversed_seqs, has_shm = [], [], []
+    for i in range(len(ids)):
+        aligned = _codes_to_str(family.msa[i])
+        if i in unmutated_ids:
+            aligned = naive
+        if i in shm_indel_ids:
+            pos = int(rng.integers(40, len(aligned) - 40))
+            ins = "".join(rng.choice(list(ALPHABET), 3))
+            input_seqs.append(aligned[:pos] + ins + aligned[pos:])
+            reversed_seqs.append(aligned)
+            has_shm.append(True)
+        else:
+            input_seqs.append(aligned)
+            reversed_seqs.append("")
+            has_shm.append(False)
+
+    event = {
+        "unique_ids": ids,
+        "input_seqs": input_seqs,
+        "indel_reversed_seqs": reversed_seqs,
+        "has_shm_indels": has_shm,
+        "naive_seq": naive,
+        "v_gene": v0,
+        "d_gene": next(
+            n for n, g in family.genes.items() if g.gtype == "D"),
+        "j_gene": next(
+            n for n, g in family.genes.items() if g.gtype == "J"),
+        "duplicates": [[] for _ in ids],
+        "linearham-info": {
+            "flexbounds": {k: list(v) for k, v in family.flexbounds.items()},
+            "relpos": dict(family.relpos),
+        },
+    }
+    root = {
+        "version-info": {"partis-yaml": "0.1"},
+        "germline-info": {
+            "locus": family.locus,
+            "seqs": gl_seqs,
+            "cyst-positions": cyst,
+            "tryp-positions": tryp,
+        },
+        "partitions": [{"logprob": -1234.5, "n_procs": 1,
+                        "partition": [ids]}],
+        "events": [event],
+    }
+    with open(path, "w") as fh:
+        yaml.safe_dump(root, fh, sort_keys=False, width=10 ** 6)
+
+
+def write_trees_tsv(samples: TreeSamples, path: str,
+                    index_comments: bool = True) -> None:
+    """Write a posterior ensemble in the RevBayes output TSV contract.
+
+    ``index_comments`` adds the ``[&index=N]`` node comments RevBayes
+    emits (the reference strips them, src/PhyloHMM.cpp:419-420).
+    """
+    cols = (["Iteration", "Likelihood", "Prior", "alpha"]
+            + [f"er[{i}]" for i in range(1, 7)]
+            + [f"pi[{i}]" for i in range(1, 5)] + ["tree"])
+    with open(path, "w") as fh:
+        fh.write("\t".join(cols) + "\n")
+        for t in range(samples.n_samples):
+            nwk = samples.newicks[t]
+            if index_comments:
+                # Tag each tip label with a RevBayes-style index comment.
+                import re
+
+                counter = [0]
+
+                def tag(m):
+                    counter[0] += 1
+                    return m.group(0) + f"[&index={counter[0]}]"
+
+                nwk = re.sub(r"[A-Za-z_][\w.|-]*", tag, nwk)
+            row = ([str(int(samples.iteration[t])),
+                    repr(float(samples.rb_loglik[t])),
+                    repr(float(samples.prior[t])),
+                    repr(float(samples.alpha[t]))]
+                   + [repr(float(x)) for x in samples.er[t]]
+                   + [repr(float(x)) for x in samples.pi[t]]
+                   + [nwk])
+            fh.write("\t".join(row) + "\n")
 
 
 def random_newick(rng, labels: List[str]) -> str:

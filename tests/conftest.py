@@ -18,9 +18,16 @@ import jax
 # The container's sitecustomize registers the TPU ('axon') backend in every
 # interpreter and overrides JAX_PLATFORMS; initializing it dials the TPU
 # tunnel and can block for minutes.  Tests are CPU-only by design, so pin
-# the platform list before any backend is initialized.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# the platform list before any backend is initialized.  Set
+# LINEARHAM_TEST_TPU=1 to leave the TPU visible for @pytest.mark.tpu
+# compiled-kernel tests (never run two TPU-touching processes at once).
+if not os.environ.get("LINEARHAM_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    # f64 for the reference conformance goldens.  The TPU kernel session
+    # stays in the production configuration (f32, x64 off): x64 makes
+    # Pallas grid index maps trace as i64, which Mosaic's AOT helper
+    # rejects -- and no production TPU path ever runs with x64 on.
+    jax.config.update("jax_enable_x64", True)
 # CPU compiles of the fused phylo step take minutes; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/linearham_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

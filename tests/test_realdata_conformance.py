@@ -1,0 +1,198 @@
+"""Real-data-shaped end-to-end conformance (VERDICT round-1 item 1).
+
+The reference's CI runs the whole pipeline on the real Liao CH103 family
+(312 seqs; reference test.sh:2-3) with partis/RevBayes as external engines.
+Those binaries stay external here too, so this harness materializes a
+*real-shaped* clonal family through the exact file contracts they emit --
+a full-schema partis output YAML (germline-info seqs + codon positions,
+partitions, shm-indels variety, an unmutated member, linearham-info), a
+12-gene HMM parameter directory, and a 1000-row RevBayes trees TSV with
+[&index=N] comments -- and drives the production entry points over them:
+ingestion, the batched pipeline (file-based, chunked), the TSV output
+schema, and the entire workflow chain through every post-processing stage.
+"""
+
+import os
+import warnings
+
+import numpy as np
+import pytest
+import yaml
+
+from linearham_tpu.io.germline import load_gene_map, write_gene_dir
+from linearham_tpu.io.partis import load_cluster
+from linearham_tpu.models.phylo_hmm import PhyloHMM
+from linearham_tpu.pipeline.run import run_pipeline
+from linearham_tpu.utils.synth import (make_family, make_tree_samples,
+                                       write_partis_yaml, write_trees_tsv)
+
+N_SEQS = 24
+N_TREES = 1000
+SHM_IDS = (2, 5)
+UNMUTATED = (7,)
+
+
+@pytest.fixture(scope="module")
+def realdata(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("realdata")
+    family = make_family(
+        n_seqs=N_SEQS, n_v=4, n_d=5, n_j=3, v_len=296, d_len=26, j_len=52,
+        mutation_rate=0.08, ambig_rate=0.01, seed=11,
+    )
+    gene_dir = tmp / "hmm_params"
+    write_gene_dir(family.genes, str(gene_dir))
+    yaml_path = tmp / "partis_run.yaml"
+    write_partis_yaml(family, str(yaml_path), shm_indel_ids=SHM_IDS,
+                      unmutated_ids=UNMUTATED, seed=11)
+    trees_path = tmp / "revbayes_run.trees"
+    samples = make_tree_samples(family, N_TREES, seed=11)
+    write_trees_tsv(samples, str(trees_path), index_comments=True)
+    return tmp, family, str(yaml_path), str(gene_dir), str(trees_path)
+
+
+def test_ingestion_real_shapes(realdata):
+    """The file-based ingestion path handles realistic shapes: 12 gene
+    files, 370+ sites, shm-indel members, an unmutated member."""
+    tmp, family, yaml_path, gene_dir, _ = realdata
+    genes = load_gene_map(gene_dir)
+    assert len(genes) == 12
+    assert {g.gtype for g in genes.values()} == {"V", "D", "J"}
+    assert all(g.length >= 26 for g in genes.values())
+
+    cluster = load_cluster(yaml_path, 0)
+    assert cluster.n_seqs == N_SEQS
+    assert cluster.n_sites == family.n_sites >= 350
+    naive = cluster.naive_seq
+    # shm-indel members came back through indel_reversed_seqs (aligned
+    # length); non-indel members through input_seqs.
+    for i in SHM_IDS:
+        assert len(cluster.seqs[i]) == len(naive)
+    for i in UNMUTATED:
+        assert cluster.seqs[i] == naive
+
+    hmm = PhyloHMM(yaml_path, 0, gene_dir, seed=0)
+    # State collapse: germline regions are O(#genes) states.
+    assert hmm.space.vgerm.n_states == 4
+    assert hmm.space.jgerm.n_states == 3
+    # xMSA dedup bound: <= 5 naive bases x L columns.
+    assert hmm.xmsa.n_cols <= 5 * cluster.n_sites
+
+
+def test_pipeline_1000_trees_schema_and_finiteness(realdata):
+    tmp, family, yaml_path, gene_dir, trees_path = realdata
+    out_tsv = str(tmp / "lh_revbayes_run.trees")
+    result = run_pipeline(
+        yaml_path, 0, gene_dir, trees_path, out_tsv, num_rates=4, seed=0,
+        chunk_size=256, precision="f64",
+    )
+    assert len(result.annotations) == N_TREES
+    assert np.isfinite(result.lh_loglik).all()
+    assert np.isfinite(result.logweight).all()
+    np.testing.assert_allclose(
+        result.logweight, result.lh_loglik - result.samples.rb_loglik)
+
+    with open(out_tsv) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        rows = [l.rstrip("\n").split("\t") for l in fh]
+    # Column-for-column reference schema (src/PhyloHMM.cpp:244-282, igh).
+    expected = (
+        ["Iteration", "RBLogLikelihood", "Prior", "alpha"]
+        + [f"er[{i}]" for i in range(1, 7)]
+        + [f"pi[{i}]" for i in range(1, 5)]
+        + ["tree"] + [f"sr[{i}]" for i in range(1, 5)]
+        + ["LHLogLikelihood", "LogWeight", "NaiveSequence",
+           "VGene", "V5pDel", "V3pDel", "VFwkInsertion", "VDInsertion",
+           "DGene", "D5pDel", "D3pDel", "DJInsertion",
+           "JGene", "J5pDel", "J3pDel", "JFwkInsertion"]
+    )
+    assert header == expected
+    assert len(rows) == N_TREES
+    gene_names = set(family.genes)
+    col = {c: i for i, c in enumerate(header)}
+    for r in rows[:50]:
+        assert len(r) == len(header)
+        assert len(r[col["NaiveSequence"]]) == family.n_sites
+        assert r[col["VGene"]] in gene_names
+        assert r[col["DGene"]] in gene_names
+        assert r[col["JGene"]] in gene_names
+        assert "[&index" not in r[col["tree"]]  # comments stripped
+        for k in ("V5pDel", "V3pDel", "D5pDel", "D3pDel", "J5pDel",
+                  "J3pDel"):
+            assert int(r[col[k]]) >= 0
+
+
+def test_full_workflow_chain(realdata):
+    """The entire workflow (parse-cluster -> ... -> lineage tabulation)
+    over the real-shaped artifacts, with RevBayes supplied as an external
+    artifact -- the reference test.sh contract minus external binaries."""
+    import shutil
+
+    from linearham_tpu.workflow import run_family_workflow
+
+    tmp, family, yaml_path, gene_dir, trees_path = realdata
+    outdir = str(tmp / "workflow_out")
+    os.makedirs(outdir, exist_ok=True)
+    shutil.copy(trees_path, os.path.join(outdir, "revbayes_run.trees"))
+
+    run_family_workflow(
+        outdir, yaml_path, gene_dir,
+        num_rates=4, burnin_frac=0.1, subsamp_frac=0.05, seed=0,
+        lineage_unique_ids=[family.unique_ids[0]],
+        pfilters=[0.1], precision="f64",
+    )
+    for artifact in (
+        "git.log", "cluster.yaml", "cluster_seqs.fasta", "revbayes_run.rev",
+        "lh_revbayes_run.trees", "linearham_run.trees", "linearham_run.log",
+        "linearham_run.ess", "linearham_annotations_best.yaml",
+        "linearham_annotations_all.yaml", "aa_naive_seqs.fasta",
+        "aa_naive_seqs.dnamap",
+        f"aa_lineage_seqs_{family.unique_ids[0]}.fasta",
+    ):
+        assert os.path.exists(os.path.join(outdir, artifact)), artifact
+
+    # 1000 rows -> 900 post-burn-in -> 45 bootstrap samples.
+    with open(os.path.join(outdir, "linearham_run.log")) as fh:
+        n_boot = len(fh.readlines()) - 1
+    assert n_boot == 45
+
+    # The ESS table covers the weight columns (inf-row semantics).
+    with open(os.path.join(outdir, "linearham_run.ess")) as fh:
+        ess_cols = {l.split("\t")[0] for l in fh.readlines()[1:]}
+    assert {"LHLogLikelihood", "LogWeight", "alpha"} <= ess_cols
+
+    # Annotation lines carry re-derived partis implicit fields and load
+    # back through the YAML schema.
+    with open(os.path.join(outdir, "linearham_annotations_best.yaml")) as fh:
+        best = yaml.safe_load(fh)
+    ev = best["events"][0]
+    assert ev["v_gene"] in family.genes
+    assert "cdr3_length" in ev and ev["cdr3_length"] > 0
+    assert "regional_bounds" in ev and "codon_positions" in ev
+    assert len(ev["n_mutations"]) == N_SEQS
+    assert np.isfinite(ev["logprob"])
+    probs_total = 0.0
+    with open(os.path.join(outdir, "linearham_annotations_all.yaml")) as fh:
+        allev = yaml.safe_load(fh)["events"]
+    for e in allev:
+        probs_total += np.exp(e["logprob"])
+        assert len(e["tree-info"]["linearham"]["trees"]) >= 1
+    assert probs_total == pytest.approx(1.0)
+
+
+def test_parse_cluster_warns_on_naive_like_id(realdata, tmp_path):
+    from linearham_tpu.postprocess.parse_cluster import parse_cluster
+
+    tmp, family, yaml_path, gene_dir, _ = realdata
+    with open(yaml_path) as fh:
+        root = yaml.safe_load(fh)
+    root["events"][0]["unique_ids"][3] = "naive-lookalike"
+    root["partitions"][0]["partition"][0][3] = "naive-lookalike"
+    bad = tmp_path / "partis_naivelike.yaml"
+    with open(bad, "w") as fh:
+        yaml.safe_dump(root, fh, sort_keys=False, width=10 ** 6)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        parse_cluster(str(bad), str(tmp_path / "c.yaml"),
+                      str(tmp_path / "c.fasta"), indel_reversed_seqs=True)
+    assert any("naive" in str(w.message) for w in caught)
