@@ -35,7 +35,6 @@ def repertoire_mode() -> int:
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from linearham_tpu.parallel.mesh import multi_family_step
 
@@ -52,26 +51,27 @@ def repertoire_mode() -> int:
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_family)
     trans, consts, rows, naive, tree, eig, pi, rates, keys = stacked
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def chained(keys, tree, k):
-        def body(acc, _):
-            tree_k = dict(tree)
-            tree_k["edge_length"] = tree["edge_length"] * (1 + acc * 1e-30)
-            loglik, path = multi_family_step(
-                trans, consts, rows, naive, tree_k, eig, pi, rates, keys,
-                heavy=True, n_slots=n_slots)
-            return acc + loglik.sum() + path.jgerm_idx.sum(), None
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                              jnp.arange(k))
-        return acc
+    step = jax.jit(functools.partial(
+        multi_family_step, heavy=True, n_slots=n_slots))
 
+    # Remote-device caveat: block_until_ready does NOT synchronize on the
+    # axon tunnel, and any host read pays a fixed round-trip — so amortize
+    # one host read over K back-to-back async dispatches (the TPU executes
+    # programs in-order; wrapping the step in a lax.scan chain instead
+    # makes XLA's loop passes choke on the Pallas custom call: measured
+    # 298 s compile for the kernel-in-scan at K=4 vs 23 s for the step).
     t0 = time.perf_counter()
-    float(chained(keys, tree, K))
+    loglik, path = step(trans, consts, rows, naive, tree, eig, pi, rates,
+                        keys)
+    float(loglik.sum() + path.jgerm_idx.sum())
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(chained(keys, tree, K))
+        for _ in range(K):
+            loglik, path = step(trans, consts, rows, naive, tree, eig, pi,
+                                rates, keys)
+        float(loglik.sum() + path.jgerm_idx.sum())
         times.append((time.perf_counter() - t0) / K)
     times.sort()
     best = times[len(times) // 2]
@@ -198,7 +198,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from linearham_tpu.models.phylo_hmm import PhyloHMM, phylo_step
+    from linearham_tpu.models.phylo_hmm import PhyloHMM, phylo_step_jit
     from linearham_tpu.pipeline.run import prepare_ensemble
     from linearham_tpu.utils.synth import make_family, make_tree_samples
 
@@ -225,43 +225,35 @@ def main() -> int:
     pi_dev, rates_dev = to_dev(samples.pi), to_dev(rates)
 
     # Remote-device caveat: block_until_ready does NOT synchronize on the
-    # axon tunnel, and any host read pays a fixed round-trip.  So: run K
-    # chained steps inside ONE jitted call (a loop-carried perturbation
-    # forces a real data dependency between iterations, preventing XLA
-    # from hoisting the tree-independent work), read one scalar, divide.
+    # axon tunnel, and any host read pays a fixed round-trip.  So: dispatch
+    # K steps back-to-back (async) and amortize ONE host read over them —
+    # the TPU executes programs in-order, so syncing on the last step's
+    # output proves all K ran.  (Previously this chained the steps inside a
+    # lax.scan; a Pallas custom call inside an XLA while-loop explodes
+    # compile time — measured 298 s for the bare kernel-in-scan at K=4 vs
+    # ~23 s for the fused step alone — so the chain is gone.)
     K = int(os.environ.get("BENCH_CHAIN", "16"))
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def chained(key, tree, k):
-        def body(carry, subkey):
-            acc = carry
-            tree_k = dict(tree)
-            # No-op numerically (1 + x*1e-30 == 1 in f32) but opaque to XLA.
-            tree_k["edge_length"] = tree["edge_length"] * (1 + acc * 1e-30)
-            loglik, _, path = phylo_step(
-                hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
-                tree_k, eig_dev, pi_dev, rates_dev, subkey,
-                heavy=True, n_slots=n_slots,
-            )
-            return acc + loglik.sum() + path.jgerm_idx.sum(), loglik
-        keys = jax.random.split(key, k)
-        acc, logliks = jax.lax.scan(body, jnp.zeros((), jnp.float32), keys)
-        return acc, logliks[-1]
+    def step(subkey):
+        return phylo_step_jit(
+            hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
+            tree_dev, eig_dev, pi_dev, rates_dev, subkey,
+            heavy=True, n_slots=n_slots,
+        )
 
     key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, K)
     t0 = time.perf_counter()
-    acc, loglik = chained(key, tree_dev, K)
-    float(acc)  # host read = true sync
+    loglik, _, path = step(keys[0])
+    float(loglik.sum() + path.jgerm_idx.sum())  # host read = true sync
     compile_s = time.perf_counter() - t0
 
     times = []
     for i in range(reps):
-        key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        acc, loglik = chained(sub, tree_dev, K)
-        float(acc)
+        for k in range(K):
+            loglik, _, path = step(keys[k])
+        float(loglik.sum() + path.jgerm_idx.sum())
         times.append((time.perf_counter() - t0) / K)
 
     times.sort()

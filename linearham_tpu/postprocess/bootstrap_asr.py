@@ -64,6 +64,9 @@ def run_bootstrap_asr(
     seed: int,
     output_base: Optional[str] = None,
     dtype=jnp.float64,
+    output_trees_path: Optional[str] = None,
+    output_log_path: Optional[str] = None,
+    output_ess_path: Optional[str] = None,
 ) -> BootstrapResult:
     """Full bootstrap/ESS/ASR stage; writes <base>.{trees,log,ess}."""
     rng = np.random.default_rng(seed)
@@ -105,14 +108,20 @@ def run_bootstrap_asr(
     annotated = _asr_annotate(boot_rows, fasta_path, seed, dtype)
 
     if output_base is not None:
-        with open(output_base + ".trees", "w") as fh:
+        output_trees_path = output_trees_path or output_base + ".trees"
+        output_log_path = output_log_path or output_base + ".log"
+        output_ess_path = output_ess_path or output_base + ".ess"
+    if output_trees_path is not None:
+        with open(output_trees_path, "w") as fh:
             fh.write("\n".join(annotated) + "\n")
+    if output_log_path is not None:
         log_cols = [c for c in rows[0] if c not in _DROPPED]
-        with open(output_base + ".log", "w") as fh:
+        with open(output_log_path, "w") as fh:
             fh.write("\t".join(log_cols) + "\n")
             for r in boot_rows:
                 fh.write("\t".join(str(r[c]) for c in log_cols) + "\n")
-        with open(output_base + ".ess", "w") as fh:
+    if output_ess_path is not None:
+        with open(output_ess_path, "w") as fh:
             fh.write("Parameter\tESS\n")
             for k, v in ess.items():
                 fh.write(f"{k}\t{v:g}\n")
@@ -221,3 +230,41 @@ def _asr_annotate(boot_rows: List[dict], fasta_path: str, seed: int,
                     alphabet[b] for b in internal_states[t, s_i])
             out[i] = write_annotated_newick(root)
     return out
+
+
+def main(argv=None) -> int:
+    """CLI mirroring the reference R script's positional contract
+    (scripts/run_bootstrap_asr_ess.R:2-13):
+
+        input.path fasta.path burnin.frac subsamp.frac num.cores seed
+        output.trees.path output.log.path output.ess.path
+
+    num.cores is accepted for compatibility and ignored: the ASR hot loop
+    the reference parallelized with R `parallel` runs as one batched
+    device computation here.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Importance-weighted bootstrap + ESS + ancestral "
+                    "sequence reconstruction over the pipeline TSV.")
+    p.add_argument("input_path", help="lh_revbayes_run.trees TSV")
+    p.add_argument("fasta_path", help="clonal family FASTA")
+    p.add_argument("burnin_frac", type=float)
+    p.add_argument("subsamp_frac", type=float)
+    p.add_argument("num_cores", type=int)
+    p.add_argument("seed", type=int)
+    p.add_argument("output_trees_path")
+    p.add_argument("output_log_path")
+    p.add_argument("output_ess_path")
+    a = p.parse_args(argv)
+    run_bootstrap_asr(
+        a.input_path, a.fasta_path, a.burnin_frac, a.subsamp_frac, a.seed,
+        output_trees_path=a.output_trees_path,
+        output_log_path=a.output_log_path,
+        output_ess_path=a.output_ess_path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -106,3 +106,70 @@ def generate_rev_file(
     with open(output_path, "w") as fh:
         fh.write(text)
     return text
+
+
+def main(argv=None) -> int:
+    """CLI mirroring the reference script
+    (scripts/generate_revbayes_rev_file.py:10-39).
+
+    The Rev model spec is embedded (it is the configuration contract for
+    the external RevBayes engine); a jinja2-style template file may still
+    be supplied positionally and its ``{{ var }}`` fields are substituted
+    with the same variables the reference passes.
+    """
+    import argparse
+    import re
+
+    p = argparse.ArgumentParser(
+        description="Create a RevBayes Rev file from a template.")
+    p.add_argument("template_path", nargs="?", default=None,
+                   help="Path to a Rev template (optional; the built-in "
+                        "model spec is used when omitted).")
+    p.add_argument("--fasta-path", required=True,
+                   help="Path to clonal family FASTA file.")
+    p.add_argument("--mcmc-iter", type=int, required=True)
+    p.add_argument("--mcmc-thin", type=int, required=True)
+    p.add_argument("--tune-iter", type=int, required=True)
+    p.add_argument("--tune-thin", type=int, required=True)
+    p.add_argument("--num-rates", type=int, required=True,
+                   help="The number of gamma rate categories.")
+    p.add_argument("--seed", type=int, required=True)
+    p.add_argument("--output-path", required=True,
+                   help="The Rev file path.")
+    a = p.parse_args(argv)
+
+    if a.template_path is None:
+        generate_rev_file(
+            a.fasta_path, a.output_path, a.mcmc_iter, a.mcmc_thin,
+            a.tune_iter, a.tune_thin, a.num_rates, a.seed)
+        return 0
+
+    fields = {
+        "fasta_path": a.fasta_path,
+        "mcmc_iter": a.mcmc_iter,
+        "mcmc_thin": a.mcmc_thin,
+        "tune_iter": a.tune_iter,
+        "tune_thin": a.tune_thin,
+        "num_rates": a.num_rates,
+        "seed": a.seed,
+        "output_base": os.path.splitext(a.output_path)[0],
+    }
+    with open(a.template_path) as fh:
+        text = fh.read()
+
+    def sub(m):
+        name = m.group(1)
+        if name not in fields:
+            raise KeyError(
+                f"template variable {{{{ {name} }}}} is not one of "
+                f"{sorted(fields)}")
+        return str(fields[name])
+
+    rendered = re.sub(r"\{\{\s*(\w+)\s*\}\}", sub, text)
+    with open(a.output_path, "w") as fh:
+        fh.write(rendered)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -276,3 +276,99 @@ def test_write_lh_annotations(pipeline_out, fixtures_dir):
     ev = best["events"][0]
     assert ev["v_gene"] == "IGHV_ex*01"
     assert "naive_seq" in ev and "logprob" in ev
+
+
+def test_postprocess_clis(pipeline_out, fixtures_dir, tmp_path):
+    """Each post-processing stage is standalone-invocable with the
+    reference script's CLI contract (scripts/*.py, run_bootstrap_asr_ess.R
+    argument orders)."""
+    from linearham_tpu.postprocess import (annotations, bootstrap_asr,
+                                           lineage_probs, naive_probs,
+                                           revbayes_config)
+
+    tmp, out_tsv, fasta = pipeline_out
+
+    # run_bootstrap_asr_ess.R positional contract (R script lines 2-13).
+    trees = tmp_path / "lh.trees"
+    log = tmp_path / "lh.log"
+    ess = tmp_path / "lh.ess"
+    assert bootstrap_asr.main([
+        str(out_tsv), str(fasta), "0.25", "0.5", "1", "0",
+        str(trees), str(log), str(ess)]) == 0
+    assert trees.exists() and log.exists() and ess.exists()
+
+    # tabulate_naive_probs.py contract.
+    naive_base = tmp_path / "aa_naive_seqs"
+    assert naive_probs.main([str(trees), "--output-base",
+                             str(naive_base)]) == 0
+    assert (tmp_path / "aa_naive_seqs.fasta").exists()
+    assert (tmp_path / "aa_naive_seqs.dnamap").exists()
+
+    # tabulate_lineage_probs.py contract.
+    lineage_base = tmp_path / "aa_lineage_seqs"
+    assert lineage_probs.main([
+        str(trees), str(naive_base) + ".fasta", "--seed-seq", "0",
+        "--pfilters", "0.0", "0.5", "--output-base",
+        str(lineage_base)]) == 0
+    assert (tmp_path / "aa_lineage_seqs.pfilter0.5.dot").exists()
+
+    # write_lh_annotations.py contract; the trees file defaults from the
+    # log path (.log -> .trees) exactly as the reference's
+    # read_linearham_lines does (write_lh_annotations.py:39).
+    ann_base = tmp_path / "linearham_annotations"
+    assert annotations.main([
+        str(fixtures_dir / "phylo_hmm_input.yaml"), str(log),
+        "--output-base", str(ann_base)]) == 0
+    assert (tmp_path / "linearham_annotations_best.yaml").exists()
+
+    # generate_revbayes_rev_file.py contract, embedded model spec.
+    rev = tmp_path / "revbayes_run.rev"
+    assert revbayes_config.main([
+        "--fasta-path", str(fasta), "--mcmc-iter", "100", "--mcmc-thin",
+        "2", "--tune-iter", "50", "--tune-thin", "5", "--num-rates", "4",
+        "--seed", "7", "--output-path", str(rev)]) == 0
+    text = rev.read_text()
+    assert str(fasta) in text and "100" in text
+
+    # ... and with a user-supplied jinja2-style template.
+    tpl = tmp_path / "custom.rev"
+    tpl.write_text("data <- readDiscreteCharacterData(\"{{ fasta_path }}\")\n"
+                   "mcmc.run(generations={{ mcmc_iter }})\n"
+                   "# base: {{ output_base }}\n")
+    rev2 = tmp_path / "custom_out.rev"
+    assert revbayes_config.main([
+        str(tpl), "--fasta-path", str(fasta), "--mcmc-iter", "123",
+        "--mcmc-thin", "2", "--tune-iter", "50", "--tune-thin", "5",
+        "--num-rates", "4", "--seed", "7", "--output-path",
+        str(rev2)]) == 0
+    out2 = rev2.read_text()
+    assert "generations=123" in out2 and str(fasta) in out2
+    assert "{{" not in out2
+
+
+def test_parse_cluster_cli(tmp_path):
+    """python -m linearham_tpu.postprocess.parse_cluster mirrors the
+    reference script (scripts/parse_cluster.py:119-158)."""
+    import subprocess
+    import sys
+
+    from linearham_tpu.utils.synth import make_family, write_partis_yaml
+
+    family = make_family(n_seqs=6, seed=4)
+    yaml_path = tmp_path / "partis_run.yaml"
+    write_partis_yaml(family, str(yaml_path), shm_indel_ids=(1,), seed=4)
+
+    out_yaml = tmp_path / "cluster.yaml"
+    out_fasta = tmp_path / "cluster_seqs.fasta"
+    proc = subprocess.run(
+        [sys.executable, "-m", "linearham_tpu.postprocess.parse_cluster",
+         str(yaml_path), "--yaml-output-file", str(out_yaml),
+         "--fasta-output-file", str(out_fasta), "--cluster-index", "0",
+         "--indel-reversed-seqs"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr
+    seqs = read_fasta(str(out_fasta))
+    assert list(seqs)[0] == "naive"
+    lens = {len(s) for s in seqs.values()}
+    assert len(lens) == 1  # indel-reversed seqs align to the naive
