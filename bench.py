@@ -60,6 +60,7 @@ def repertoire_mode() -> int:
     # programs in-order; wrapping the step in a lax.scan chain instead
     # makes XLA's loop passes choke on the Pallas custom call: measured
     # 298 s compile for the kernel-in-scan at K=4 vs 23 s for the step).
+    _flush_transfers(stacked)
     t0 = time.perf_counter()
     loglik, path = step(trans, consts, rows, naive, tree, eig, pi, rates,
                         keys)
@@ -179,6 +180,22 @@ def scaling_mode() -> int:
     return 0
 
 
+def _flush_transfers(tree) -> float:
+    """Force all pending host->device transfers in a pytree to complete
+    (one tiny jitted reduce + one scalar read; block_until_ready does not
+    truly synchronize over the axon tunnel).  Returns elapsed seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    leaves = [l for l in jax.tree.leaves(tree)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.number)]
+    total = jax.jit(
+        lambda ls: sum(l.astype(jnp.float32).sum() for l in ls))(leaves)
+    float(total)
+    return time.perf_counter() - t0
+
+
 def _enable_cache() -> None:
     from linearham_tpu.utils.runtime import enable_persistent_cache
 
@@ -191,7 +208,11 @@ def main() -> int:
         return repertoire_mode()
     if os.environ.get("BENCH_MODE") == "scaling":
         return scaling_mode()
-    n_trees = int(os.environ.get("BENCH_TREES", "1024"))
+    # 4096 trees/step amortizes the ~10ms per-dispatch overhead of the
+    # remote tunnel over ~4x more device work than the reference-scale
+    # 1024-tree ensemble (the kernel splits this into 2 equal SMEM-sized
+    # chunks sharing one compiled shape).
+    n_trees = int(os.environ.get("BENCH_TREES", "4096"))
     n_seqs = int(os.environ.get("BENCH_SEQS", "10"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
 
@@ -243,6 +264,12 @@ def main() -> int:
 
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, K)
+    # Flush the host->device input transfers (async over the tunnel)
+    # before the compile timer so compile_s measures compilation, not
+    # input staging.
+    transfer_s = _flush_transfers(
+        (hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
+         tree_dev, eig_dev, pi_dev, rates_dev))
     t0 = time.perf_counter()
     loglik, _, path = step(keys[0])
     float(loglik.sum() + path.jgerm_idx.sum())  # host read = true sync
@@ -270,7 +297,8 @@ def main() -> int:
         f"# n_trees={n_trees} n_seqs={n_seqs} sites={fam.n_sites} "
         f"xmsa_cols={hmm.xmsa.n_cols} chain={K} median={best * 1e3:.2f}ms "
         f"times_ms={[round(t * 1e3, 3) for t in times]} "
-        f"compile={compile_s:.1f}s host_prep={host_prep_s:.2f}s "
+        f"compile={compile_s:.1f}s transfer={transfer_s:.1f}s "
+        f"host_prep={host_prep_s:.2f}s "
         f"device={jax.devices()[0].device_kind} "
         f"mean_loglik={float(loglik.mean()):.2f}",
         file=sys.stderr,

@@ -55,31 +55,48 @@ def _use_pallas_pruning(dtype) -> bool:
     return jax.default_backend() == "tpu" and dtype == jnp.float32
 
 
+# Stand-in for -inf while emissions flow through matmuls (0 * -inf = NaN
+# would poison the one-hot contractions); exp(_NEG_CAP - anything) == 0 in
+# both f32 and f64, and summing a whole region of them stays finite.
+_NEG_CAP = -1e30
+
+
 def _gather_consts(space, xmsa: Xmsa, dtype):
-    """Device constants for turning site log-liks into region emissions."""
+    """Device constants for turning site log-liks into region emissions.
+
+    All index maps are folded into ONE-HOT selection matrices on host so
+    the per-step emission assembly is pure matmul ([T, X] @ [X, S]) on the
+    MXU — fancy-index gathers at [T=4096, X=863] measured ~2x the cost of
+    the entire pruning kernel on v5e.
+    """
     consts = {}
+    X = xmsa.n_cols
 
     def linear(name, region, inds):
+        # m[x, g] = how many of gene g's sites map to xMSA column x; the
+        # per-gene log-emission sum is then site_ll @ m.
+        seg = segment_matrix(inds, region.ggene_ranges,
+                             len(region.ggene_ranges))
+        m = np.zeros((X, seg.shape[1]))
+        np.add.at(m, np.asarray(inds, np.intp), seg)
+        consts[name] = {"m": jnp.asarray(m, dtype)}
+
+    def junction(name, inds):
+        rows, S = inds.shape
+        g = np.zeros((X, rows * S))
+        flat = np.asarray(np.maximum(inds, 0), np.intp).ravel()
+        g[flat, np.arange(rows * S)] = 1.0
         consts[name] = {
-            "inds": jnp.asarray(inds, jnp.int32),
-            "seg": jnp.asarray(
-                segment_matrix(inds, region.ggene_ranges,
-                               len(region.ggene_ranges)), dtype),
-        }
+            "g": jnp.asarray(g, dtype),
+            "mask": jnp.asarray(inds >= 0),   # [rows, S]; also carries the
+        }                                     # (rows, S) shape for reshape
 
     linear("vpadding", space.vpadding, xmsa.inds.vpadding)
     linear("vgerm", space.vgerm, xmsa.inds.vgerm)
-    consts["vd_junction"] = {
-        "inds": jnp.asarray(np.maximum(xmsa.inds.vd_junction, 0), jnp.int32),
-        "mask": jnp.asarray(xmsa.inds.vd_junction >= 0),
-    }
+    junction("vd_junction", xmsa.inds.vd_junction)
     if space.is_heavy:
         linear("dgerm", space.dgerm, xmsa.inds.dgerm)
-        consts["dj_junction"] = {
-            "inds": jnp.asarray(
-                np.maximum(xmsa.inds.dj_junction, 0), jnp.int32),
-            "mask": jnp.asarray(xmsa.inds.dj_junction >= 0),
-        }
+        junction("dj_junction", xmsa.inds.dj_junction)
     linear("jgerm", space.jgerm, xmsa.inds.jgerm)
     linear("jpadding", space.jpadding, xmsa.inds.jpadding)
     return consts
@@ -87,16 +104,21 @@ def _gather_consts(space, xmsa: Xmsa, dtype):
 
 def region_emissions(site_loglik: jnp.ndarray, consts: dict,
                      heavy: bool) -> Dict[str, jnp.ndarray]:
-    """Gather per-site log-likelihoods [T, X] into region emissions."""
+    """Contract per-site log-likelihoods [T, X] into region emissions.
+
+    Pure matmuls against host-precomputed one-hot maps (see
+    _gather_consts); -inf sites are capped first so 0 * -inf never occurs.
+    """
     emis = {}
+    T = site_loglik.shape[0]
+    safe = jnp.maximum(site_loglik, _NEG_CAP)
 
     def linear(name):
-        c = consts[name]
-        emis[name] = site_loglik[:, c["inds"]] @ c["seg"]
+        emis[name] = safe @ consts[name]["m"]
 
     def junction(name):
         c = consts[name]
-        vals = site_loglik[:, c["inds"]]          # [T, rows, S]
+        vals = (safe @ c["g"]).reshape((T,) + c["mask"].shape)
         emis[name] = jnp.where(c["mask"][None], vals, -jnp.inf)
 
     linear("vpadding")
@@ -132,11 +154,11 @@ def phylo_emissions(
             site_log_likelihoods_pallas,
         )
 
-        tip_codes = jnp.take(xmsa_rows, tree["tip_perm"], axis=0)
         site_ll = site_log_likelihoods_pallas(
-            eig, pi, rates, tip_codes, tree["tip_parent"],
-            tree["tip_length"], tree["edge_child"], tree["edge_parent"],
-            tree["edge_length"], tree["root_slot"], n_slots=n_slots,
+            eig, pi, rates, xmsa_rows, tree["tip_perm"],
+            tree["tip_parent"], tree["tip_length"], tree["edge_child"],
+            tree["edge_parent"], tree["edge_length"], tree["root_slot"],
+            n_slots=n_slots,
         )                                         # [T, X]
     else:
         def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
@@ -153,14 +175,13 @@ def phylo_emissions(
             tree["edge_length"], tree["root_slot"],
         )                                         # [T, X]
 
-    # Divide out the naive prior at unambiguous naive sites.
-    naive_log_pi = jnp.log(
-        jnp.take_along_axis(
-            pi, jnp.minimum(naive_bases, 3)[None, :].astype(jnp.int32)
-            * jnp.ones((pi.shape[0], 1), jnp.int32), axis=1)
-    )
-    site_ll_corr = site_ll - jnp.where(naive_bases[None, :] < 4,
-                                       naive_log_pi, 0.0)
+    # Divide out the naive prior at unambiguous naive sites.  One-hot
+    # matmul instead of take_along_axis: a [T, X] gather from [T, 4] is
+    # disproportionately slow on TPU, while [T,4] @ [4,X] is free.
+    naive_oh = (jnp.arange(4)[:, None]
+                == jnp.minimum(naive_bases, 3)[None, :])
+    naive_oh = (naive_oh & (naive_bases[None, :] < 4)).astype(site_ll.dtype)
+    site_ll_corr = site_ll - jnp.log(pi) @ naive_oh
     return region_emissions(site_ll_corr, consts, heavy), site_ll_corr
 
 

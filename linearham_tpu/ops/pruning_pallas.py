@@ -19,8 +19,11 @@ dimension, blocked to Xb columns so the partials scratch fits VMEM for
 arbitrarily deep trees (a 312-sequence clonal family has ~311 internal
 slots; sites are independent given the tree, so blocks are independent),
 and the tree batch is chunked so the per-tree SMEM topology tables stay
-under the ~1MB SMEM budget.  Tip codes are laid out [n_tips, T, X] so the
-post-order loops index only leading (untiled) dimensions.
+under the ~1MB SMEM budget.  Tip observations stay in the deduplicated
+[n_rows, X] xMSA form, shared across the whole tree batch; each tree's
+tip rows resolve inside the kernel through the scalar-prefetched tip
+permutation, so the [T, n_tips, X] gathered tensor (~150MB of HBM traffic
+per step at production batch sizes) never exists.
 
 Per-edge transition matrices ARE formed — but as tiny [R, 4, 4] tensors,
 not per-site ones:
@@ -68,11 +71,16 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(
     # scalar prefetch (SMEM); packed into two arrays because SMEM pads
     # each array's minor dimension to 128 lanes.
-    topo_ref,         # [n_tips + 2E + 1, Tc] int32: rows = [tip_parent
-                      # (n_tips) | edge_child (E) | edge_parent (E) | root]
+    topo_ref,         # [2*n_tips + 2E + 1, Tc] int32: rows = [tip_parent
+                      # (n_tips) | tip_perm (n_tips) | edge_child (E) |
+                      # edge_parent (E) | root]
     lengths_ref,      # [n_tips + E, Tc] f32 branch lengths
     # VMEM blocks
-    codes_ref,        # [n_tips, TB, Xb] int32 (tips leading: untiled)
+    codes_ref,        # [n_rows, 1, Xb] int32 (xMSA rows, SHARED across
+                      # trees; per-tree tip rows resolve through the
+                      # scalar-prefetched tip_perm -- the [T, n_tips, X]
+                      # gathered tensor this replaces was ~150MB of HBM
+                      # traffic per step at T=4096)
     u_ref,            # [TB, 4, 4] f32
     uinv_ref,         # [TB, 4, 4] f32
     lam_ref,          # [TB, 4] f32
@@ -134,7 +142,8 @@ def _kernel(
 
         # --- tips: messages straight from one-hot leaves ------------------
         def tip_body(i, _):
-            code = codes_ref[pl.ds(i, 1), tb, :][None]     # [1, 1, Xb]
+            row = topo_ref[n_tips + i, t]
+            code = codes_ref[pl.ds(row, 1)]                # [1, 1, Xb]
             pm = pmat(i)
             # msg[r,i,x] = P[r,i,code[x]]; code >= 4 (N) -> exact ones
             # (treatAmbiguousAsGap: ambiguous tips contribute nothing).
@@ -161,8 +170,8 @@ def _kernel(
 
         # --- internal edges in post-order ----------------------------------
         def edge_body(e, _):
-            c = topo_ref[n_tips + e, t]
-            pnt = topo_ref[n_tips + n_edges + e, t]
+            c = topo_ref[2 * n_tips + e, t]
+            pnt = topo_ref[2 * n_tips + n_edges + e, t]
             pc = partials[pl.ds(c, 1)][0]                  # [R, 4, Xb]
             pm = pmat(n_tips + e)
             msg = sum(
@@ -176,7 +185,7 @@ def _kernel(
         loop(n_edges, edge_body)
 
         # --- root: stationary mix, rate mix --------------------------------
-        r = topo_ref[n_tips + 2 * n_edges, t]
+        r = topo_ref[2 * n_tips + 2 * n_edges, t]
         root = partials[pl.ds(r, 1)][0]                    # [R, 4, Xb]
         lik = sum(pi_ref[tb, i] * root[:, i, :] for i in range(4))
         per_rate = jnp.log(lik) + scale[...]               # [R, Xb]
@@ -197,7 +206,8 @@ def site_log_likelihoods_pallas(
     eig,                      # GTREigen pytree, u/u_inv [T,4,4], lam [T,4]
     pi: jnp.ndarray,          # [T, 4]
     rates: jnp.ndarray,       # [T, R]
-    tip_codes: jnp.ndarray,   # [T, n_tips, X] int32 (already permuted)
+    row_codes: jnp.ndarray,   # [n_rows, X] int32 xMSA rows (shared)
+    tip_perm: jnp.ndarray,    # [T, n_tips] int32 tip -> xMSA row
     tip_parent: jnp.ndarray,  # [T, n_tips] int32
     tip_length: jnp.ndarray,  # [T, n_tips]
     edge_child: jnp.ndarray,  # [T, E] int32
@@ -209,7 +219,8 @@ def site_log_likelihoods_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-site rate-mixed log-likelihoods [T, X] for a padded tree batch."""
-    T, n_tips, X = tip_codes.shape
+    T, n_tips = tip_perm.shape
+    n_rows, X = row_codes.shape
     E = edge_child.shape[1]
     R = rates.shape[1]
     f32 = jnp.float32
@@ -219,14 +230,16 @@ def site_log_likelihoods_pallas(
     # scratch stays under the cap (deep trees => many slots => narrow
     # blocks; sites are independent, so blocks are too).
     Xp = _round_up(X, 128)
-    per_col = n_slots * R * 8 * 4        # bytes/column (4->8 sublane pad)
+    # bytes/column: partials scratch (4->8 sublane pad) + the shared
+    # xMSA-row codes block (1->8 sublane pad).
+    per_col = n_slots * R * 8 * 4 + n_rows * 8 * 4
     Xb = max(128, min(Xp, (_SCRATCH_BYTES // per_col) // 128 * 128))
     n_xblocks = -(-Xp // Xb)
     Xp = n_xblocks * Xb
 
-    # Tree-chunk size: the SMEM tables are (tips+2E+1) int32 + (tips+E)
-    # f32 rows per tree.
-    smem_per_tree = ((n_tips + 2 * E + 1) + (n_tips + E)) * 4
+    # Tree-chunk size: the SMEM tables are (2*tips+2E+1) int32 +
+    # (tips+E) f32 rows per tree.
+    smem_per_tree = ((2 * n_tips + 2 * E + 1) + (n_tips + E)) * 4
     Tc = max(TB, (_SMEM_BYTES // smem_per_tree) // TB * TB)
     Tp = _round_up(T, TB)
 
@@ -239,8 +252,9 @@ def site_log_likelihoods_pallas(
         return jnp.pad(a, widths, constant_values=fill)
 
     # Padded sites get code 4 (N): all-ones partials, site loglik 0.
-    codes = pad(pad(tip_codes.astype(jnp.int32), Xp, axis=2, fill=4), Tp)
-    codes = jnp.transpose(codes, (1, 0, 2))          # [n_tips, Tp, Xp]
+    # [n_rows, 1, Xp]: the singleton sublane axis keeps n_rows a LEADING
+    # (untiled) dim so the kernel's dynamic per-tip row lookup is legal.
+    codes = pad(row_codes.astype(jnp.int32), Xp, axis=1, fill=4)[:, None, :]
     u = pad(eig.u.astype(f32), Tp)
     uinv = pad(eig.u_inv.astype(f32), Tp)
     lam = pad(eig.lam.astype(f32), Tp)
@@ -253,6 +267,7 @@ def site_log_likelihoods_pallas(
         jnp.concatenate(
             [
                 tip_parent.astype(jnp.int32),
+                tip_perm.astype(jnp.int32),
                 edge_child.astype(jnp.int32),
                 edge_parent.astype(jnp.int32),
                 root_slot.astype(jnp.int32)[:, None],
@@ -260,7 +275,7 @@ def site_log_likelihoods_pallas(
             axis=1,
         ).T,
         Tp, axis=1,
-    )                                                # [n_tips + 2E + 1, Tp]
+    )                                              # [2*n_tips + 2E + 1, Tp]
 
     kernel = functools.partial(
         _kernel, trees_per_block=TB, n_tips=n_tips, n_edges=E,
@@ -273,14 +288,15 @@ def site_log_likelihoods_pallas(
     def block(shape, site_axis=None, tree_axis=0):
         def index_map(i, j, *_):
             idx = [0] * len(shape)
-            idx[tree_axis] = i
+            if tree_axis is not None:
+                idx[tree_axis] = i
             if site_axis is not None:
                 idx[site_axis] = j
             return tuple(idx)
         return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
     def run_chunk(args):
-        topo_c, lengths_c, codes_c, u_c, uinv_c, lam_c, rates_c, pi_c = args
+        topo_c, lengths_c, u_c, uinv_c, lam_c, rates_c, pi_c = args
         Tcc = u_c.shape[0]
         return pl.pallas_call(
             kernel,
@@ -288,7 +304,7 @@ def site_log_likelihoods_pallas(
                 num_scalar_prefetch=2,
                 grid=(Tcc // TB, n_xblocks),
                 in_specs=[
-                    block((n_tips, TB, Xb), site_axis=2, tree_axis=1),
+                    block((n_rows, 1, Xb), site_axis=2, tree_axis=None),
                     block((TB, 4, 4)),
                     block((TB, 4, 4)),
                     block((TB, 4)),
@@ -303,24 +319,28 @@ def site_log_likelihoods_pallas(
             ),
             out_shape=jax.ShapeDtypeStruct((Tcc, Xp), f32),
             interpret=interpret,
-        )(topo_c, lengths_c, codes_c, u_c, uinv_c, lam_c, rates_c, pi_c)
+        )(topo_c, lengths_c, codes, u_c, uinv_c, lam_c, rates_c, pi_c)
 
     if Tp <= Tc:
-        out = run_chunk((topo, lengths, codes, u, uinv, lam, rates_p, pi_p))
+        out = run_chunk((topo, lengths, u, uinv, lam, rates_p, pi_p))
         return out[:T, :X]
 
-    # Chunk the tree batch so the SMEM tables fit; one compiled kernel
-    # serves every full chunk, plus one call for the padded remainder.
-    Tfull = (Tp // Tc) * Tc
+    # Chunk the tree batch so the SMEM tables fit.  Chunk sizes are
+    # equalized (pad the tree axis, then split evenly) so every
+    # pallas_call shares ONE compiled (grid, blockspec) shape — a ragged
+    # tail chunk would pay a second Mosaic compile (~25 s at production
+    # shapes).  Padded trees carry zeroed tables and are sliced off.
+    n_chunks = -(-Tp // Tc)
+    Tc_eq = _round_up(-(-Tp // n_chunks), TB)
+    Tp2 = n_chunks * Tc_eq
+    topo = pad(topo, Tp2, axis=1)
+    lengths = pad(lengths, Tp2, axis=1)
+    u, uinv, lam = pad(u, Tp2), pad(uinv, Tp2), pad(lam, Tp2)
+    rates_p, pi_p = pad(rates_p, Tp2), pad(pi_p, Tp2)
     outs = []
-    for start in range(0, Tfull, Tc):
-        sl = slice(start, start + Tc)
+    for start in range(0, Tp2, Tc_eq):
+        sl = slice(start, start + Tc_eq)
         outs.append(run_chunk((
-            topo[:, sl], lengths[:, sl], codes[:, sl], u[sl], uinv[sl],
-            lam[sl], rates_p[sl], pi_p[sl])))
-    if Tfull < Tp:
-        sl = slice(Tfull, Tp)
-        outs.append(run_chunk((
-            topo[:, sl], lengths[:, sl], codes[:, sl], u[sl], uinv[sl],
+            topo[:, sl], lengths[:, sl], u[sl], uinv[sl],
             lam[sl], rates_p[sl], pi_p[sl])))
     return jnp.concatenate(outs, axis=0)[:T, :X]

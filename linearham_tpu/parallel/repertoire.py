@@ -142,24 +142,21 @@ def _stack_bucket(tasks: List[FamilyTask], num_rates: int, dtype):
             _pad(t["dj_jgerm"], (S2, Gj)) for t in trans_list])
 
     def stack_linear(name, n_genes):
-        inds = [c[name]["inds"] for c in consts_list]
-        segs = [c[name]["seg"] for c in consts_list]
-        n_elems = max(a.shape[0] for a in inds)
-        return {
-            "inds": np.stack([_pad(a, (n_elems,), 0) for a in inds]),
-            "seg": np.stack([
-                _pad(a, (n_elems, n_genes)) for a in segs]),
-        }
+        # Each family's one-hot contraction map pads with zero rows/cols:
+        # padded xMSA columns and padded genes contribute nothing.
+        return {"m": np.stack([
+            _pad(c[name]["m"], (X, n_genes)) for c in consts_list])}
 
     def stack_junction(name, rows, n_states):
-        return {
-            "inds": np.stack([
-                _pad(c[name]["inds"], (rows, n_states), 0)
-                for c in consts_list]),
-            "mask": np.stack([
-                _pad(c[name]["mask"], (rows, n_states), False)
-                for c in consts_list]),
-        }
+        gs, masks = [], []
+        for c in consts_list:
+            r_f, s_f = c[name]["mask"].shape
+            x_f = c[name]["g"].shape[0]
+            g3 = np.asarray(c[name]["g"]).reshape(x_f, r_f, s_f)
+            gs.append(_pad(g3, (X, rows, n_states)).reshape(
+                X, rows * n_states))
+            masks.append(_pad(c[name]["mask"], (rows, n_states), False))
+        return {"g": np.stack(gs), "mask": np.stack(masks)}
 
     r1 = hmms[0].space.vd_junction.n_rows
     consts = {

@@ -54,9 +54,9 @@ def test_kernel_matches_jnp_path(ensemble):
         tree["tip_length"], tree["edge_child"], tree["edge_parent"],
         tree["edge_length"], tree["root_slot"])
 
-    tip_codes = jnp.take(hmm._xmsa_rows, tree["tip_perm"], axis=0)
     got = site_log_likelihoods_pallas(
-        eig, pi, rates, tip_codes, tree["tip_parent"], tree["tip_length"],
+        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
+        tree["tip_parent"], tree["tip_length"],
         tree["edge_child"], tree["edge_parent"], tree["edge_length"],
         tree["root_slot"], n_slots=n_slots, trees_per_block=8,
         interpret=True)
@@ -68,8 +68,13 @@ def test_kernel_matches_jnp_path(ensemble):
 def test_kernel_handles_ambiguous_tips(ensemble):
     """A tip row of all-N must contribute exactly nothing (msg == 1)."""
     hmm, tree, eig, pi, rates, n_slots = ensemble
-    tip_codes = jnp.take(hmm._xmsa_rows, tree["tip_perm"], axis=0)
-    all_n = tip_codes.at[:, 0, :].set(4)
+    # Point every tree's tip 0 at a new all-N xMSA row.
+    n_rows = hmm._xmsa_rows.shape[0]
+    rows_n = jnp.concatenate(
+        [hmm._xmsa_rows, jnp.full((1, hmm._xmsa_rows.shape[1]), 4,
+                                  hmm._xmsa_rows.dtype)], axis=0)
+    perm_n = tree["tip_perm"].at[:, 0].set(n_rows)
+    all_n = jnp.take(rows_n, perm_n, axis=0)
 
     def per_tree(eig_t, pi_t, rates_t, tips, tparent, tlen, echild,
                  eparent, elen, root):
@@ -82,9 +87,10 @@ def test_kernel_handles_ambiguous_tips(ensemble):
         tree["edge_child"], tree["edge_parent"], tree["edge_length"],
         tree["root_slot"])
     got = site_log_likelihoods_pallas(
-        eig, pi, rates, all_n, tree["tip_parent"], tree["tip_length"],
-        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
-        tree["root_slot"], n_slots=n_slots, interpret=True)
+        eig, pi, rates, rows_n, perm_n, tree["tip_parent"],
+        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
+        tree["edge_length"], tree["root_slot"], n_slots=n_slots,
+        interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
@@ -126,9 +132,9 @@ def test_kernel_blocked_paths_match(monkeypatch):
     # Force several site blocks and several tree chunks.
     monkeypatch.setattr(pp, "_SCRATCH_BYTES", 2 * 1024 * 1024)
     monkeypatch.setattr(pp, "_SMEM_BYTES", 4 * 1024)
-    tip_codes = jnp.take(hmm._xmsa_rows, tree["tip_perm"], axis=0)
     got = pp.site_log_likelihoods_pallas.__wrapped__(   # skip jit cache
-        eig, pi, rates, tip_codes, tree["tip_parent"], tree["tip_length"],
+        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
+        tree["tip_parent"], tree["tip_length"],
         tree["edge_child"], tree["edge_parent"], tree["edge_length"],
         tree["root_slot"], n_slots=n_slots, trees_per_block=8,
         interpret=True)
@@ -169,9 +175,9 @@ def test_kernel_deep_tree_production_width():
         eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
         tree["tip_length"], tree["edge_child"], tree["edge_parent"],
         tree["edge_length"], tree["root_slot"])
-    tip_codes = jnp.take(hmm._xmsa_rows, tree["tip_perm"], axis=0)
     got = site_log_likelihoods_pallas(
-        eig, pi, rates, tip_codes, tree["tip_parent"], tree["tip_length"],
+        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
+        tree["tip_parent"], tree["tip_length"],
         tree["edge_child"], tree["edge_parent"], tree["edge_length"],
         tree["root_slot"], n_slots=n_slots, interpret=True)
     np.testing.assert_allclose(
@@ -213,9 +219,9 @@ def test_kernel_compiled_on_tpu_matches_xla():
         eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
         tree["tip_length"], tree["edge_child"], tree["edge_parent"],
         tree["edge_length"], tree["root_slot"])
-    tip_codes = jnp.take(hmm._xmsa_rows, tree["tip_perm"], axis=0)
     got = site_log_likelihoods_pallas(   # compiled: no interpret flag
-        eig, pi, rates, tip_codes, tree["tip_parent"], tree["tip_length"],
+        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
+        tree["tip_parent"], tree["tip_length"],
         tree["edge_child"], tree["edge_parent"], tree["edge_length"],
         tree["root_slot"], n_slots=n_slots)
     np.testing.assert_allclose(
@@ -258,9 +264,9 @@ def test_kernel_single_rate_and_zero_branches():
         tree["tip_length"], tree["edge_child"], tree["edge_parent"],
         tree["edge_length"], tree["root_slot"]))
 
-    tip_codes = jnp.take(hmm._xmsa_rows, tree["tip_perm"], axis=0)
     got = np.asarray(site_log_likelihoods_pallas(
-        eig, pi, rates, tip_codes, tree["tip_parent"], tree["tip_length"],
+        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
+        tree["tip_parent"], tree["tip_length"],
         tree["edge_child"], tree["edge_parent"], tree["edge_length"],
         tree["root_slot"], n_slots=n_slots, interpret=True))
 
@@ -274,3 +280,61 @@ def test_kernel_single_rate_and_zero_branches():
     assert (got[impossible] < -15).all()
     ok = ~impossible
     np.testing.assert_allclose(got[ok], want[ok], rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_tree_chunks_are_equal_shape(monkeypatch):
+    """When the tree batch exceeds the SMEM budget it splits into
+    EQUAL-size chunks (one compiled kernel shape), and the chunked result
+    matches the jnp path including the ragged final chunk."""
+    import linearham_tpu.ops.pruning_pallas as pp
+
+    fam = make_family(n_seqs=6, seed=5)
+    hmm = PhyloHMM.from_parts(
+        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
+        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
+    )
+    T = 21  # pads to 24; with Tc forced to 8 -> 3 equal chunks
+    samples = make_tree_samples(fam, T, seed=5)
+    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 2)
+
+    def to_dev(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating):
+            return jnp.asarray(a, jnp.float32)
+        return jnp.asarray(a)
+
+    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
+    eig = jax.tree.map(to_dev, eig)
+    pi, rates = to_dev(samples.pi), to_dev(rates)
+
+    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
+                 eparent, elen, root):
+        return site_log_likelihoods(
+            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
+            echild, eparent, elen, root, n_slots)
+
+    want = jax.vmap(per_tree)(
+        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
+        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
+        tree["edge_length"], tree["root_slot"])
+
+    # Force Tc down to the trees_per_block floor (8) so Tp=24 -> 3 chunks.
+    monkeypatch.setattr(pp, "_SMEM_BYTES", 1)
+    calls = []
+    orig = pp.pl.pallas_call
+
+    def spy(kernel, **kw):
+        calls.append(kw["out_shape"].shape)
+        return orig(kernel, **kw)
+
+    monkeypatch.setattr(pp.pl, "pallas_call", spy)
+    got = pp.site_log_likelihoods_pallas.__wrapped__(   # skip jit cache
+        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
+        tree["tip_parent"], tree["tip_length"],
+        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
+        tree["root_slot"], n_slots=n_slots, trees_per_block=8,
+        interpret=True)
+    assert len(calls) == 3
+    assert len(set(calls)) == 1, f"chunk shapes differ: {calls}"
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
