@@ -112,3 +112,50 @@ def test_sample_annotations_batched(phylo):
     # distinct RNG keys actually produce distinct paths
     assert len({a.naive_seq for a in anns}) > 1
     assert phylo.log_likelihood() == pytest.approx(-75.8136, abs=2e-4)
+
+
+def test_region_emissions_match_direct_gather(fixtures_dir):
+    """The one-hot matmul emission assembly equals direct fancy-index
+    gathers element-for-element, including -inf handling (impossible
+    sites cap at _NEG_CAP; masked junction cells stay exactly -inf)."""
+    import jax.numpy as jnp
+
+    from linearham_tpu.compiler.xmsa import segment_matrix
+    from linearham_tpu.models.phylo_hmm import (_NEG_CAP, region_emissions)
+
+    hmm = PhyloHMM(str(fixtures_dir / "phylo_hmm_input.yaml"), 0,
+                   str(fixtures_dir / "hmm_params"), seed=0)
+    space, xmsa = hmm.space, hmm.xmsa
+    X = xmsa.n_cols
+    rng = np.random.default_rng(0)
+    site_ll = rng.normal(-3.0, 1.0, size=(5, X))
+    site_ll[0, 2] = -np.inf  # an impossible site
+    got = region_emissions(jnp.asarray(site_ll), hmm._consts,
+                           heavy=space.is_heavy)
+
+    def want_linear(region, inds):
+        seg = segment_matrix(inds, region.ggene_ranges,
+                             len(region.ggene_ranges))
+        return np.maximum(site_ll, _NEG_CAP)[:, inds] @ seg
+
+    for name, region, inds in (
+            ("vpadding", space.vpadding, xmsa.inds.vpadding),
+            ("vgerm", space.vgerm, xmsa.inds.vgerm),
+            ("dgerm", space.dgerm, xmsa.inds.dgerm),
+            ("jgerm", space.jgerm, xmsa.inds.jgerm),
+            ("jpadding", space.jpadding, xmsa.inds.jpadding)):
+        np.testing.assert_allclose(np.asarray(got[name]),
+                                   want_linear(region, inds),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+    for name, inds in (("vd_junction", xmsa.inds.vd_junction),
+                       ("dj_junction", xmsa.inds.dj_junction)):
+        want = np.where(
+            inds >= 0,
+            np.maximum(site_ll, _NEG_CAP)[:, np.maximum(inds, 0)],
+            -np.inf)
+        np.testing.assert_allclose(np.asarray(got[name]), want,
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+    # No NaNs anywhere despite the -inf input.
+    for name, v in got.items():
+        assert not np.isnan(np.asarray(v)).any(), name
