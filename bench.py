@@ -202,12 +202,54 @@ def _enable_cache() -> None:
     enable_persistent_cache()
 
 
+def _orchestrate() -> int:
+    """Run the measurement in a subprocess with a deadline, retrying at a
+    smaller tree batch if it stalls.
+
+    The axon tunnel to the remote TPU pool can degrade to the point where
+    transfers/remote-compiles block for many minutes (observed 2026-08-21:
+    a 64x64 matmul probe succeeded while the full bench blocked >9 min
+    with ~0 host CPU).  A deadline + retry keeps one bad window from
+    producing no benchmark at all; the persistent compile cache makes the
+    retry cheap once any attempt has compiled.
+    """
+    import subprocess
+
+    attempts = [
+        ({}, 480),                                     # full size
+        ({"BENCH_TREES": "1024", "BENCH_CHAIN": "8"}, 420),
+        ({"BENCH_TREES": "1024", "BENCH_CHAIN": "8", "BENCH_REPS": "3"},
+         360),
+    ]
+    for i, (overrides, deadline) in enumerate(attempts):
+        env = dict(os.environ, BENCH_INNER="1", **overrides)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=deadline, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"# attempt {i} ({overrides or 'default'}) exceeded "
+                  f"{deadline}s deadline (tunnel stall?); retrying",
+                  file=sys.stderr)
+            continue
+        sys.stdout.write(proc.stdout)
+        sys.stderr.write(proc.stderr)
+        if proc.returncode == 0:
+            return 0
+        print(f"# attempt {i} exited rc={proc.returncode}; retrying",
+              file=sys.stderr)
+    print("# all bench attempts failed", file=sys.stderr)
+    return 1
+
+
 def main() -> int:
     _enable_cache()
     if os.environ.get("BENCH_MODE") == "repertoire":
         return repertoire_mode()
     if os.environ.get("BENCH_MODE") == "scaling":
         return scaling_mode()
+    if os.environ.get("BENCH_INNER") != "1":
+        return _orchestrate()
     # 4096 trees/step amortizes the ~10ms per-dispatch overhead of the
     # remote tunnel over ~4x more device work than the reference-scale
     # 1024-tree ensemble (the kernel splits this into 2 equal SMEM-sized
