@@ -23,7 +23,8 @@ from linearham_tpu.compiler.xmsa import Xmsa, build_xmsa, segment_matrix
 from linearham_tpu.io.germline import load_gene_map
 from linearham_tpu.io.newick import TreeBatch, batch_trees, parse_newick
 from linearham_tpu.io.partis import ClusterData, load_cluster
-from linearham_tpu.models.decode import Annotation, decode_path
+from linearham_tpu.models.decode import (Annotation, decode_path,
+                                         decode_paths_batch)
 from linearham_tpu.ops.ffbs import (SampledPath, sample_path,
                                     sample_paths_batch)
 from linearham_tpu.ops.forward import forward
@@ -400,10 +401,7 @@ class PhyloHMM:
         paths = jax.tree.map(
             np.asarray,
             sample_paths_batch(keys, self._trans, cache, heavy))
-        return [
-            self._decode(jax.tree.map(lambda a: a[i], paths), 0)
-            for i in range(n)
-        ]
+        return self._decode_batch(jax.tree.map(lambda a: a[:, 0], paths))
 
     def map_annotation(self) -> Annotation:
         """The MAP (Viterbi) V(D)J annotation under the current tree."""
@@ -416,6 +414,20 @@ class PhyloHMM:
         )
         self.map_score = float(np.asarray(score)[0])
         return self._decode(jax.tree.map(np.asarray, path), 0)
+
+    def _decode_batch(self, path: SampledPath) -> List[Annotation]:
+        """Decode a whole batch of sampled paths (leaves are numpy [T,...])
+        with one vectorized pass; see models.decode.decode_paths_batch."""
+        heavy = self.space.is_heavy
+        return decode_paths_batch(
+            self.space,
+            vgerm_idx=path.vgerm_idx,
+            vd_idx=path.vd_idx,
+            dgerm_idx=path.dgerm_idx if heavy else None,
+            dj_idx=path.dj_idx if heavy else None,
+            jgerm_idx=path.jgerm_idx,
+            n_sites=self.cluster.n_sites,
+        )
 
     def _decode(self, path: SampledPath, t: int) -> Annotation:
         heavy = self.space.is_heavy

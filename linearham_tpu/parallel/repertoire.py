@@ -33,6 +33,11 @@ from linearham_tpu.pipeline.run import prepare_ensemble
 
 NEG = -1e30  # finite stand-in for -inf in padded log tensors
 
+# Module-level jit so repeated run_repertoire calls at the same bucket
+# shapes reuse the compiled trace (a per-call jax.jit would retrace).
+_multi_family_step_jit = jax.jit(
+    multi_family_step, static_argnames=("heavy", "n_slots"))
+
 
 @dataclass
 class FamilyTask:
@@ -248,23 +253,18 @@ def run_repertoire(
         else:
             args = (*args, keys)
 
-        step = jax.jit(multi_family_step,
-                       static_argnames=("heavy", "n_slots"))
-        loglik, path = step(*args, heavy=heavy, n_slots=n_slots)
+        loglik, path = _multi_family_step_jit(
+            *args, heavy=heavy, n_slots=n_slots)
         loglik = np.asarray(loglik)
         path = jax.tree.map(np.asarray, path)
 
         for f, i in enumerate(idxs):
             task = tasks[i]
             T = task.samples.n_samples
-            anns = []
-            for t in range(T):
-                heavy_f = task.hmm.space.is_heavy
-                anns.append(task.hmm._decode(
-                    jax.tree.map(lambda a: a[f], path), t))
+            fam_path = jax.tree.map(lambda a: a[f, :T], path)
             results[i] = FamilyResult(
                 loglik=loglik[f, :T],
                 logweight=loglik[f, :T] - task.samples.rb_loglik,
-                annotations=anns,
+                annotations=task.hmm._decode_batch(fam_path),
             )
     return results

@@ -136,9 +136,9 @@ def run_pipeline_arrays(
             n_valid = min(chunk_size, T - start)
             logliks[start:start + n_valid] = np.asarray(loglik_c)[:n_valid]
             with timer.stage("decode"):
-                path_np = jax.tree.map(np.asarray, path_c)
-                for t in range(n_valid):
-                    paths.append(hmm._decode(path_np, t))
+                path_np = jax.tree.map(
+                    lambda a: np.asarray(a)[:n_valid], path_c)
+                paths.extend(hmm._decode_batch(path_np))
 
     return PipelineResult(
         samples=samples,
