@@ -1,13 +1,21 @@
 #!/usr/bin/env python3
-"""Headline benchmark: posterior-tree pipeline steps per second per chip.
+"""Headline benchmark: posterior-tree pipeline throughput per chip.
 
-Measures the fully fused device step (Felsenstein pruning over the xMSA x 4
-gamma rates + HMM forward + FFBS path sampling) on a synthetic ~370-site
-igh clonal family with a RevBayes-style posterior ensemble, batched over
-trees.  The reference processes trees one at a time through libpll + Eigen
-(src/PhyloHMM.cpp:393-446); the BASELINE.md target is >=1000 trees/sec/chip.
+Modes (BENCH_MODE):
+  step        (default) the fused device step alone: Felsenstein pruning
+              over the xMSA x 4 gamma rates + HMM forward + FFBS, batched
+              over trees.
+  pipeline    the full production unit, matching the reference's
+              --pipeline invocation (src/PhyloHMM.cpp:393-446): partis
+              YAML + RevBayes TSV in -> per-tree loglik/sample/annotation
+              -> output TSV, including host parse/decode/write.
+  repertoire  multi-family stacked execution on one chip.
+  scaling     virtual-CPU-mesh sharding-overhead table (no TPU).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The BASELINE.md target is >=1000 trees/sec/chip.  Prints ONE JSON line
+with at least {"metric", "value", "unit", "vs_baseline"}; extra keys
+(compile_s, stages, attempt, ...) carry the evidence the round reviews
+asked for (cold-vs-warm persistent-cache hits, stage breakdown).
 """
 
 import json
@@ -16,6 +24,190 @@ import sys
 import time
 
 BASELINE_TREES_PER_SEC = 1000.0
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result))
+
+
+def _flush_transfers(tree) -> float:
+    """Force all pending host->device transfers in a pytree to complete
+    (one tiny jitted reduce + one scalar read; block_until_ready does not
+    truly synchronize over the axon tunnel).  Returns elapsed seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    leaves = [l for l in jax.tree.leaves(tree)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.number)]
+    total = jax.jit(
+        lambda ls: sum(l.astype(jnp.float32).sum() for l in ls))(leaves)
+    float(total)
+    return time.perf_counter() - t0
+
+
+def step_mode() -> int:
+    """The fused device step: trees/s for one [T]-tree batched dispatch."""
+    # 4096 trees/step amortizes the ~10ms per-dispatch overhead of the
+    # remote tunnel over ~4x more device work than the reference-scale
+    # 1024-tree ensemble (the kernel splits this into 2 equal SMEM-sized
+    # chunks sharing one compiled shape).
+    n_trees = int(os.environ.get("BENCH_TREES", "4096"))
+    n_seqs = int(os.environ.get("BENCH_SEQS", "10"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from linearham_tpu.models.phylo_hmm import PhyloHMM, phylo_step_jit
+    from linearham_tpu.pipeline.run import prepare_ensemble
+    from linearham_tpu.utils.synth import make_family, make_tree_samples
+
+    dtype = jnp.float32
+    fam = make_family(n_seqs=n_seqs, seed=0)
+    hmm = PhyloHMM.from_parts(
+        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
+        fam.unique_ids, fam.n_sites, seed=0, dtype=dtype,
+    )
+    samples = make_tree_samples(fam, n_trees, seed=0)
+
+    t0 = time.perf_counter()
+    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 4)
+    host_prep_s = time.perf_counter() - t0
+
+    def to_dev(a):
+        import numpy as np
+        a = np.asarray(a)
+        return jnp.asarray(a, dtype) if np.issubdtype(a.dtype, np.floating) \
+            else jnp.asarray(a)
+
+    tree_dev = {k: to_dev(v) for k, v in tree_arrays.items()}
+    eig_dev = jax.tree.map(to_dev, eig)
+    pi_dev, rates_dev = to_dev(samples.pi), to_dev(rates)
+
+    # Remote-device caveat: block_until_ready does NOT synchronize on the
+    # axon tunnel, and any host read pays a fixed round-trip.  So: dispatch
+    # K steps back-to-back (async) and amortize ONE host read over them —
+    # the TPU executes programs in-order, so syncing on the last step's
+    # output proves all K ran.  (A lax.scan chain would fuse them, but a
+    # Pallas custom call inside an XLA while-loop explodes Mosaic compile
+    # time — measured 298 s vs ~23 s for the bare step — so no scan.)
+    K = int(os.environ.get("BENCH_CHAIN", "16"))
+
+    def step(subkey):
+        return phylo_step_jit(
+            hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
+            tree_dev, eig_dev, pi_dev, rates_dev, subkey,
+            heavy=True, n_slots=n_slots,
+        )
+
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, K)
+    # Flush the host->device input transfers (async over the tunnel)
+    # before the compile timer so compile_s measures compilation, not
+    # input staging.
+    transfer_s = _flush_transfers(
+        (hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
+         tree_dev, eig_dev, pi_dev, rates_dev))
+    t0 = time.perf_counter()
+    loglik, _, path = step(keys[0])
+    float(loglik.sum() + path.jgerm_idx.sum())  # host read = true sync
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        for k in range(K):
+            loglik, _, path = step(keys[k])
+        float(loglik.sum() + path.jgerm_idx.sum())
+        times.append((time.perf_counter() - t0) / K)
+
+    times.sort()
+    best = times[len(times) // 2]   # median per-step time
+    trees_per_sec = n_trees / best
+    _emit({
+        "metric": "posterior_tree_pipeline_steps_per_sec_per_chip",
+        "value": round(trees_per_sec, 1),
+        "unit": "trees/s",
+        "vs_baseline": round(trees_per_sec / BASELINE_TREES_PER_SEC, 3),
+        "compile_s": round(compile_s, 2),
+    })
+    print(
+        f"# n_trees={n_trees} n_seqs={n_seqs} sites={fam.n_sites} "
+        f"xmsa_cols={hmm.xmsa.n_cols} chain={K} median={best * 1e3:.2f}ms "
+        f"times_ms={[round(t * 1e3, 3) for t in times]} "
+        f"compile={compile_s:.1f}s transfer={transfer_s:.1f}s "
+        f"host_prep={host_prep_s:.2f}s "
+        f"device={jax.devices()[0].device_kind} "
+        f"mean_loglik={float(loglik.mean()):.2f}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def pipeline_mode() -> int:
+    """BENCH_MODE=pipeline: the whole production invocation, file to file.
+
+    Measures what the reference's `linearham --pipeline` does end to end:
+    read the partis YAML + RevBayes trees TSV, compute per-tree
+    log-likelihoods, sample one annotation per tree, decode to naive
+    sequences/VDJ fields, and write the output TSV.  Synthetic input
+    files are generated OUTSIDE the timed region (they stand in for
+    partis/RevBayes artifacts that already exist on disk in production).
+    """
+    import tempfile
+
+    n_trees = int(os.environ.get("BENCH_TREES", "10240"))
+    n_seqs = int(os.environ.get("BENCH_SEQS", "100"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "2048"))
+
+    from linearham_tpu.io.germline import write_gene_dir
+    from linearham_tpu.pipeline.run import run_pipeline
+    from linearham_tpu.utils.synth import (make_family, make_tree_samples,
+                                           write_partis_yaml,
+                                           write_trees_tsv)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        fam = make_family(n_seqs=n_seqs, seed=0)
+        gene_dir = os.path.join(tmp, "hmm_params")
+        write_gene_dir(fam.genes, gene_dir)
+        yaml_path = os.path.join(tmp, "partis_run.yaml")
+        write_partis_yaml(fam, yaml_path, seed=0)
+        trees_path = os.path.join(tmp, "revbayes_run.trees")
+        samples = make_tree_samples(fam, n_trees, seed=0)
+        write_trees_tsv(samples, trees_path)
+        out_tsv = os.path.join(tmp, "lh_revbayes_run.trees")
+
+        t0 = time.perf_counter()
+        result = run_pipeline(
+            yaml_path, 0, gene_dir, trees_path, out_tsv, num_rates=4,
+            seed=0, chunk_size=chunk,
+        )
+        wall = time.perf_counter() - t0
+        n_rows = sum(1 for _ in open(out_tsv)) - 1
+
+    assert n_rows == n_trees, (n_rows, n_trees)
+    stages = {k: round(v, 3) for k, v in (result.timings or {}).items()}
+    compile_s = stages.get("compile_and_first_step", 0.0)
+    device_s = stages.get("device_step", 0.0) + compile_s
+    trees_per_sec = n_trees / wall
+    _emit({
+        "metric": "pipeline_end_to_end_trees_per_sec_per_chip",
+        "value": round(trees_per_sec, 1),
+        "unit": "trees/s",
+        "vs_baseline": round(trees_per_sec / BASELINE_TREES_PER_SEC, 3),
+        "compile_s": round(compile_s, 2),
+        "stages": stages,
+        "device_frac": round(device_s / wall, 3) if wall else None,
+        "n_trees": n_trees,
+        "n_seqs": n_seqs,
+    })
+    import jax
+
+    print(f"# pipeline n_trees={n_trees} n_seqs={n_seqs} chunk={chunk} "
+          f"wall={wall:.2f}s stages={stages} "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+    return 0
 
 
 def repertoire_mode() -> int:
@@ -54,12 +246,8 @@ def repertoire_mode() -> int:
     step = jax.jit(functools.partial(
         multi_family_step, heavy=True, n_slots=n_slots))
 
-    # Remote-device caveat: block_until_ready does NOT synchronize on the
-    # axon tunnel, and any host read pays a fixed round-trip — so amortize
-    # one host read over K back-to-back async dispatches (the TPU executes
-    # programs in-order; wrapping the step in a lax.scan chain instead
-    # makes XLA's loop passes choke on the Pallas custom call: measured
-    # 298 s compile for the kernel-in-scan at K=4 vs 23 s for the step).
+    # Same K-dispatch / one-host-read sync pattern as step_mode (see the
+    # tunnel caveat there).
     _flush_transfers(stacked)
     t0 = time.perf_counter()
     loglik, path = step(trans, consts, rows, naive, tree, eig, pi, rates,
@@ -77,13 +265,13 @@ def repertoire_mode() -> int:
     times.sort()
     best = times[len(times) // 2]
     total_trees = n_fams * n_trees
-    result = {
+    _emit({
         "metric": "repertoire_trees_per_sec_per_chip",
         "value": round(total_trees / best, 1),
         "unit": "trees/s",
         "vs_baseline": round(total_trees / best / BASELINE_TREES_PER_SEC, 3),
-    }
-    print(json.dumps(result))
+        "compile_s": round(compile_s, 2),
+    })
     print(f"# fams={n_fams} trees/fam={n_trees} chain={K} "
           f"median={best * 1e3:.2f}ms compile={compile_s:.1f}s",
           file=sys.stderr)
@@ -101,9 +289,10 @@ def scaling_mode() -> int:
     term: partitioning/collective overhead.  The repertoire hot path shards
     the family axis with ZERO collectives (parallel/mesh.py), so a fixed
     total workload run at 1/2/4/8 devices should take constant wall time;
-    efficiency(n) = t(1)/t(n) isolates any sharding overhead.  Combined
-    with the zero-collective program structure this is the simulated
-    evidence behind BASELINE.md's >=80% 1-chip -> 2-host target.
+    efficiency(n) = t(1)/t(n) isolates any sharding overhead.  This is a
+    SIMULATED sharding-overhead measurement, not a hardware scaling
+    result; BASELINE.md's >=80% multi-host target can only be closed on
+    real multi-chip hardware.
 
     Writes SCALING_r.json with the per-size table.
     """
@@ -169,31 +358,18 @@ def scaling_mode() -> int:
         "value": value,
         "unit": "ratio",
         "vs_baseline": round(value / 0.8, 3),
+        "simulated": True,
     }
-    print(json.dumps(result))
+    _emit(result)
     detail = {"table": table, "speedup_vs_1dev": speedup,
               "total_families": F, "trees_per_family": n_trees,
-              "host_cores": cores, "result": result}
+              "host_cores": cores, "result": result,
+              "note": "virtual-CPU-mesh sharding-overhead measurement, "
+                      "not a hardware scaling result"}
     with open("SCALING_r.json", "w") as fh:
         json.dump(detail, fh, indent=1)
     print(f"# scaling {detail}", file=sys.stderr)
     return 0
-
-
-def _flush_transfers(tree) -> float:
-    """Force all pending host->device transfers in a pytree to complete
-    (one tiny jitted reduce + one scalar read; block_until_ready does not
-    truly synchronize over the axon tunnel).  Returns elapsed seconds."""
-    import jax
-    import jax.numpy as jnp
-
-    t0 = time.perf_counter()
-    leaves = [l for l in jax.tree.leaves(tree)
-              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.number)]
-    total = jax.jit(
-        lambda ls: sum(l.astype(jnp.float32).sum() for l in ls))(leaves)
-    float(total)
-    return time.perf_counter() - t0
 
 
 def _enable_cache() -> None:
@@ -202,9 +378,61 @@ def _enable_cache() -> None:
     enable_persistent_cache()
 
 
-def _orchestrate() -> int:
-    """Run the measurement in a subprocess with a deadline, retrying at a
-    smaller tree batch if it stalls.
+_ATTEMPTS = {
+    # mode -> [(env overrides, deadline_s), ...]; overrides apply only for
+    # keys the user did NOT set in the environment (a user-supplied
+    # BENCH_TREES wins over the fallback schedule).
+    "step": [
+        ({}, 480),
+        ({"BENCH_TREES": "1024", "BENCH_CHAIN": "8"}, 420),
+        ({"BENCH_TREES": "1024", "BENCH_CHAIN": "8", "BENCH_REPS": "3"},
+         360),
+    ],
+    "pipeline": [
+        ({}, 900),
+        ({"BENCH_TREES": "4096"}, 600),
+        ({"BENCH_TREES": "2048", "BENCH_SEQS": "10"}, 480),
+    ],
+    "repertoire": [
+        ({}, 480),
+        ({"BENCH_FAMS": "4", "BENCH_TREES": "128"}, 420),
+    ],
+}
+
+
+def _run_inner(env, deadline):
+    """One measurement subprocess under a deadline; returns (json or None,
+    raw stdout, raw stderr)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, timeout=deadline, capture_output=True, text=True)
+    except subprocess.TimeoutExpired as e:
+        # Surface the child's partial output: it distinguishes a tunnel
+        # stall (nothing printed) from a hang later in compile/host prep.
+        for name, blob in (("stdout", e.stdout), ("stderr", e.stderr)):
+            if blob:
+                text = blob.decode() if isinstance(blob, bytes) else blob
+                print(f"# timed-out child {name}:\n{text}", file=sys.stderr)
+        return None, "", ""
+    parsed = None
+    if proc.returncode == 0:
+        for line in reversed(proc.stdout.splitlines()):
+            try:
+                cand = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(cand, dict) and "metric" in cand:
+                parsed = cand
+                break
+    return parsed, proc.stdout, proc.stderr
+
+
+def _orchestrate(mode: str) -> int:
+    """Run the measurement in subprocesses with deadlines, retrying at a
+    smaller size if it stalls, then re-running once warm.
 
     The axon tunnel to the remote TPU pool can degrade to the point where
     transfers/remote-compiles block for many minutes (observed 2026-08-21:
@@ -212,140 +440,56 @@ def _orchestrate() -> int:
     with ~0 host CPU).  A deadline + retry keeps one bad window from
     producing no benchmark at all; the persistent compile cache makes the
     retry cheap once any attempt has compiled.
-    """
-    import subprocess
 
-    attempts = [
-        ({}, 480),                                     # full size
-        ({"BENCH_TREES": "1024", "BENCH_CHAIN": "8"}, 420),
-        ({"BENCH_TREES": "1024", "BENCH_CHAIN": "8", "BENCH_REPS": "3"},
-         360),
-    ]
+    After a successful attempt, ONE more process runs with the same
+    configuration: its compile_s is the warm number that proves the
+    persistent cache round-trips across processes (the first attempt's
+    compile_s is cold unless earlier runs already populated the cache).
+    """
+    attempts = _ATTEMPTS[mode]
     for i, (overrides, deadline) in enumerate(attempts):
-        env = dict(os.environ, BENCH_INNER="1", **overrides)
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=deadline, capture_output=True, text=True)
-        except subprocess.TimeoutExpired:
-            print(f"# attempt {i} ({overrides or 'default'}) exceeded "
+        # User-supplied sizes take precedence over the fallback schedule.
+        eff = {k: v for k, v in overrides.items() if k not in os.environ}
+        env = dict(os.environ, BENCH_INNER="1", **eff)
+        first, out1, err1 = _run_inner(env, deadline)
+        if first is None:
+            print(f"# attempt {i} ({eff or 'default'}) failed or exceeded "
                   f"{deadline}s deadline (tunnel stall?); retrying",
                   file=sys.stderr)
             continue
-        sys.stdout.write(proc.stdout)
-        sys.stderr.write(proc.stderr)
-        if proc.returncode == 0:
-            return 0
-        print(f"# attempt {i} exited rc={proc.returncode}; retrying",
-              file=sys.stderr)
+        sys.stderr.write(err1)
+        warm, out2, err2 = _run_inner(env, deadline)
+        if warm is not None:
+            sys.stderr.write(err2)
+            final = dict(warm)
+            final["cold_compile_s"] = first.get("compile_s")
+            final["warm_compile_s"] = warm.get("compile_s")
+        else:
+            print("# warm re-run failed; reporting the first attempt only",
+                  file=sys.stderr)
+            final = dict(first)
+            final["cold_compile_s"] = first.get("compile_s")
+        if i > 0 or eff:
+            final["attempt"] = i      # produced by a fallback configuration
+            final["overrides"] = eff
+        _emit(final)
+        return 0
     print("# all bench attempts failed", file=sys.stderr)
     return 1
 
 
 def main() -> int:
     _enable_cache()
-    if os.environ.get("BENCH_MODE") == "repertoire":
-        return repertoire_mode()
-    if os.environ.get("BENCH_MODE") == "scaling":
-        return scaling_mode()
+    mode = os.environ.get("BENCH_MODE", "step")
+    if mode == "scaling":
+        return scaling_mode()         # CPU-only; no tunnel, no deadline
     if os.environ.get("BENCH_INNER") != "1":
-        return _orchestrate()
-    # 4096 trees/step amortizes the ~10ms per-dispatch overhead of the
-    # remote tunnel over ~4x more device work than the reference-scale
-    # 1024-tree ensemble (the kernel splits this into 2 equal SMEM-sized
-    # chunks sharing one compiled shape).
-    n_trees = int(os.environ.get("BENCH_TREES", "4096"))
-    n_seqs = int(os.environ.get("BENCH_SEQS", "10"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
-
-    import jax
-    import jax.numpy as jnp
-
-    from linearham_tpu.models.phylo_hmm import PhyloHMM, phylo_step_jit
-    from linearham_tpu.pipeline.run import prepare_ensemble
-    from linearham_tpu.utils.synth import make_family, make_tree_samples
-
-    dtype = jnp.float32
-    fam = make_family(n_seqs=n_seqs, seed=0)
-    hmm = PhyloHMM.from_parts(
-        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
-        fam.unique_ids, fam.n_sites, seed=0, dtype=dtype,
-    )
-    samples = make_tree_samples(fam, n_trees, seed=0)
-
-    t0 = time.perf_counter()
-    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 4)
-    host_prep_s = time.perf_counter() - t0
-
-    def to_dev(a):
-        import numpy as np
-        a = np.asarray(a)
-        return jnp.asarray(a, dtype) if np.issubdtype(a.dtype, np.floating) \
-            else jnp.asarray(a)
-
-    tree_dev = {k: to_dev(v) for k, v in tree_arrays.items()}
-    eig_dev = jax.tree.map(to_dev, eig)
-    pi_dev, rates_dev = to_dev(samples.pi), to_dev(rates)
-
-    # Remote-device caveat: block_until_ready does NOT synchronize on the
-    # axon tunnel, and any host read pays a fixed round-trip.  So: dispatch
-    # K steps back-to-back (async) and amortize ONE host read over them —
-    # the TPU executes programs in-order, so syncing on the last step's
-    # output proves all K ran.  (Previously this chained the steps inside a
-    # lax.scan; a Pallas custom call inside an XLA while-loop explodes
-    # compile time — measured 298 s for the bare kernel-in-scan at K=4 vs
-    # ~23 s for the fused step alone — so the chain is gone.)
-    K = int(os.environ.get("BENCH_CHAIN", "16"))
-
-    def step(subkey):
-        return phylo_step_jit(
-            hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
-            tree_dev, eig_dev, pi_dev, rates_dev, subkey,
-            heavy=True, n_slots=n_slots,
-        )
-
-    key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, K)
-    # Flush the host->device input transfers (async over the tunnel)
-    # before the compile timer so compile_s measures compilation, not
-    # input staging.
-    transfer_s = _flush_transfers(
-        (hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
-         tree_dev, eig_dev, pi_dev, rates_dev))
-    t0 = time.perf_counter()
-    loglik, _, path = step(keys[0])
-    float(loglik.sum() + path.jgerm_idx.sum())  # host read = true sync
-    compile_s = time.perf_counter() - t0
-
-    times = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        for k in range(K):
-            loglik, _, path = step(keys[k])
-        float(loglik.sum() + path.jgerm_idx.sum())
-        times.append((time.perf_counter() - t0) / K)
-
-    times.sort()
-    best = times[len(times) // 2]   # median per-step time
-    trees_per_sec = n_trees / best
-    result = {
-        "metric": "posterior_tree_pipeline_steps_per_sec_per_chip",
-        "value": round(trees_per_sec, 1),
-        "unit": "trees/s",
-        "vs_baseline": round(trees_per_sec / BASELINE_TREES_PER_SEC, 3),
-    }
-    print(json.dumps(result))
-    print(
-        f"# n_trees={n_trees} n_seqs={n_seqs} sites={fam.n_sites} "
-        f"xmsa_cols={hmm.xmsa.n_cols} chain={K} median={best * 1e3:.2f}ms "
-        f"times_ms={[round(t * 1e3, 3) for t in times]} "
-        f"compile={compile_s:.1f}s transfer={transfer_s:.1f}s "
-        f"host_prep={host_prep_s:.2f}s "
-        f"device={jax.devices()[0].device_kind} "
-        f"mean_loglik={float(loglik.mean()):.2f}",
-        file=sys.stderr,
-    )
-    return 0
+        return _orchestrate(mode)
+    if mode == "repertoire":
+        return repertoire_mode()
+    if mode == "pipeline":
+        return pipeline_mode()
+    return step_mode()
 
 
 if __name__ == "__main__":

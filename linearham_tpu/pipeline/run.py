@@ -73,6 +73,17 @@ def prepare_ensemble(hmm: PhyloHMM, samples: TreeSamples, num_rates: int):
     return tree_arrays, eig, rates, tb.n_slots
 
 
+def _drain_chunk(hmm, timer, logliks, paths, start, n_valid, loglik_c,
+                 path_c) -> None:
+    """Block on one chunk's device outputs and decode its annotations."""
+    with timer.stage("device_step"):
+        loglik_np = np.asarray(loglik_c)   # blocks until the step is done
+    logliks[start:start + n_valid] = loglik_np[:n_valid]
+    with timer.stage("decode"):
+        path_np = jax.tree.map(lambda a: np.asarray(a)[:n_valid], path_c)
+        paths.extend(hmm._decode_batch(path_np))
+
+
 def run_pipeline_arrays(
     hmm: PhyloHMM,
     samples: TreeSamples,
@@ -98,47 +109,63 @@ def run_pipeline_arrays(
 
     logliks = np.zeros(T)
     paths = []
+
+    def stage_chunk(start):
+        """Enqueue chunk ``start``'s host->device transfers (async)."""
+        with timer.stage("device_transfer"):
+            tree_c = {
+                k: jnp.asarray(
+                    _chunk_pad([v], start, chunk_size, T)[0],
+                    dtype if np.issubdtype(v.dtype, np.floating)
+                    else None)
+                for k, v in dev_tree_full.items()
+            }
+            eig_c = jax.tree.map(
+                lambda a: jnp.asarray(
+                    _chunk_pad([np.asarray(a)], start, chunk_size, T)[0],
+                    dtype),
+                eig_full,
+            )
+            pi_c, rates_c = (
+                jnp.asarray(x, dtype) for x in
+                _chunk_pad([samples.pi, rates], start, chunk_size, T)
+            )
+        return tree_c, eig_c, pi_c, rates_c
+
+    # Software pipeline over chunks: dispatch chunk k's device step
+    # (async), THEN stage chunk k+1's transfers and decode chunk k-1's
+    # paths while the device is busy, and only then block on chunk k.
+    # Transfers and host decode thus overlap device compute instead of
+    # serializing with it (the reference interleaves libpll work and TSV
+    # output serially per tree, src/PhyloHMM.cpp:393-446).
+    staged = stage_chunk(0)
+    pending = None   # (start, n_valid, loglik_c, path_c) awaiting decode
     first_chunk = True
     with maybe_trace(trace_dir):
         for start in range(0, T, chunk_size):
+            tree_c, eig_c, pi_c, rates_c = staged
             key, subkey = jax.random.split(key)
-            with timer.stage("device_transfer"):
-                tree_c = {
-                    k: jnp.asarray(
-                        _chunk_pad([v], start, chunk_size, T)[0],
-                        dtype if np.issubdtype(v.dtype, np.floating)
-                        else None)
-                    for k, v in dev_tree_full.items()
-                }
-                eig_c = jax.tree.map(
-                    lambda a: jnp.asarray(
-                        _chunk_pad([np.asarray(a)], start, chunk_size, T)[0],
-                        dtype),
-                    eig_full,
-                )
-                pi_c, rates_c = (
-                    jnp.asarray(x, dtype) for x in
-                    _chunk_pad([samples.pi, rates], start, chunk_size, T)
-                )
-            # The first chunk pays compile (unless the persistent cache
-            # hits); report it as its own stage so --profile separates
-            # compile cost from steady-state throughput.
             stage = "compile_and_first_step" if first_chunk \
                 else "device_step"
-            first_chunk = False
             with timer.stage(stage):
                 loglik_c, _, path_c = step(
                     hmm._trans, hmm._consts, hmm._xmsa_rows,
                     hmm._naive_bases, tree_c, eig_c, pi_c, rates_c, subkey,
                     heavy=hmm.space.is_heavy, n_slots=n_slots,
                 )
-                jax.block_until_ready(loglik_c)
-            n_valid = min(chunk_size, T - start)
-            logliks[start:start + n_valid] = np.asarray(loglik_c)[:n_valid]
-            with timer.stage("decode"):
-                path_np = jax.tree.map(
-                    lambda a: np.asarray(a)[:n_valid], path_c)
-                paths.extend(hmm._decode_batch(path_np))
+                if first_chunk:
+                    # The first dispatch pays compile (unless the
+                    # persistent cache hits); block here so --profile
+                    # separates compile cost from steady-state time.
+                    jax.block_until_ready(loglik_c)
+            first_chunk = False
+            if start + chunk_size < T:
+                staged = stage_chunk(start + chunk_size)
+            if pending is not None:
+                _drain_chunk(hmm, timer, logliks, paths, *pending)
+            pending = (start, min(chunk_size, T - start), loglik_c, path_c)
+        if pending is not None:
+            _drain_chunk(hmm, timer, logliks, paths, *pending)
 
     return PipelineResult(
         samples=samples,

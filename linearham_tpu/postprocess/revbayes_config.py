@@ -92,8 +92,17 @@ def generate_rev_file(
     tune_thin: int,
     num_rates: int,
     seed: int,
+    template_path: str = None,
 ) -> str:
-    text = _TEMPLATE.format(
+    """Render the Rev MCMC config.
+
+    With ``template_path`` a user-supplied Rev template is rendered by
+    substituting its ``{{ var }}`` fields with the same variables the
+    reference passes to jinja2 (scripts/generate_revbayes_rev_file.py:
+    42-52, the reference's --template-path); otherwise the embedded model
+    spec is used.
+    """
+    fields = dict(
         fasta_path=fasta_path,
         mcmc_iter=mcmc_iter,
         mcmc_thin=mcmc_thin,
@@ -103,6 +112,23 @@ def generate_rev_file(
         seed=seed,
         output_base=os.path.splitext(output_path)[0],
     )
+    if template_path is None:
+        text = _TEMPLATE.format(**fields)
+    else:
+        import re
+
+        with open(template_path) as fh:
+            raw = fh.read()
+
+        def sub(m):
+            name = m.group(1)
+            if name not in fields:
+                raise KeyError(
+                    f"template variable {{{{ {name} }}}} is not one of "
+                    f"{sorted(fields)}")
+            return str(fields[name])
+
+        text = re.sub(r"\{\{\s*(\w+)\s*\}\}", sub, raw)
     with open(output_path, "w") as fh:
         fh.write(text)
     return text
@@ -118,7 +144,6 @@ def main(argv=None) -> int:
     with the same variables the reference passes.
     """
     import argparse
-    import re
 
     p = argparse.ArgumentParser(
         description="Create a RevBayes Rev file from a template.")
@@ -138,36 +163,10 @@ def main(argv=None) -> int:
                    help="The Rev file path.")
     a = p.parse_args(argv)
 
-    if a.template_path is None:
-        generate_rev_file(
-            a.fasta_path, a.output_path, a.mcmc_iter, a.mcmc_thin,
-            a.tune_iter, a.tune_thin, a.num_rates, a.seed)
-        return 0
-
-    fields = {
-        "fasta_path": a.fasta_path,
-        "mcmc_iter": a.mcmc_iter,
-        "mcmc_thin": a.mcmc_thin,
-        "tune_iter": a.tune_iter,
-        "tune_thin": a.tune_thin,
-        "num_rates": a.num_rates,
-        "seed": a.seed,
-        "output_base": os.path.splitext(a.output_path)[0],
-    }
-    with open(a.template_path) as fh:
-        text = fh.read()
-
-    def sub(m):
-        name = m.group(1)
-        if name not in fields:
-            raise KeyError(
-                f"template variable {{{{ {name} }}}} is not one of "
-                f"{sorted(fields)}")
-        return str(fields[name])
-
-    rendered = re.sub(r"\{\{\s*(\w+)\s*\}\}", sub, text)
-    with open(a.output_path, "w") as fh:
-        fh.write(rendered)
+    generate_rev_file(
+        a.fasta_path, a.output_path, a.mcmc_iter, a.mcmc_thin,
+        a.tune_iter, a.tune_thin, a.num_rates, a.seed,
+        template_path=a.template_path)
     return 0
 
 

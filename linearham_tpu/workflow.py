@@ -114,39 +114,49 @@ def run_partis(
     all_clonal_seqs: bool = False,
     extra_args: Optional[List[str]] = None,
 ) -> str:
-    """Invoke partis partition with linearham-info (external engine).
+    """Invoke partis with linearham-info (external engine).
 
-    Mirrors the reference's partis step contract (SConstruct:296-311):
-    ``partis partition --extra-annotation-columns linearham-info``.
-    Returns the partis output YAML path.
+    Mirrors the reference's partis step exactly (SConstruct:296-311):
+    mode ``partition`` normally, ``annotate --all-seqs-simultaneous``
+    when all input sequences are known-clonal; an explicit parameter dir
+    adds ``--refuse-to-cache-parameters``, otherwise partis caches into
+    ``<outdir>/parameter_dir``.  stdout lands in partis_run.stdout.log
+    (the reference's second target).  Returns the output YAML path.
     """
     out_yaml = os.path.join(outdir, "partis_run.yaml")
-    cmd = [
-        partis_binary, "partition",
-        "--infname", fasta_path,
-        "--locus", locus,
-        "--extra-annotation-columns", "linearham-info",
-        "--outfname", out_yaml,
-    ]
-    if parameter_dir:
-        cmd += ["--parameter-dir", parameter_dir]
-    if all_clonal_seqs:
-        cmd += ["--all-seqs-simultaneous"]
-    cmd += extra_args or []
-    subprocess.run(cmd, check=True)
+    mode = (["annotate", "--all-seqs-simultaneous"] if all_clonal_seqs
+            else ["partition"])
+    if parameter_dir is not None:
+        param_args = [parameter_dir.rstrip("/"),
+                      "--refuse-to-cache-parameters"]
+    else:
+        param_args = [os.path.join(outdir, "parameter_dir")]
+    cmd = (
+        [partis_binary] + mode
+        + ["--infname", fasta_path]
+        + ["--parameter-dir"] + param_args
+        + ["--locus", locus,
+           "--extra-annotation-columns", "linearham-info",
+           "--outfname", out_yaml]
+        + (extra_args or [])
+    )
+    with open(os.path.join(outdir, "partis_run.stdout.log"), "w") as log:
+        subprocess.run(cmd, check=True, stdout=log)
     return out_yaml
 
 
 def run_get_linearham_info(partis_yaml_file: str, partis_binary: str,
-                           out_path: str) -> str:
+                           out_path: str,
+                           parameter_dir: Optional[str] = None) -> str:
     """``partis get-linearham-info`` for a pre-existing partis file
-    (reference: SConstruct:318-336)."""
-    subprocess.run(
-        [partis_binary, "get-linearham-info",
-         "--input-metafnames", partis_yaml_file,
-         "--outfname", out_path],
-        check=True,
-    )
+    (reference: SConstruct:318-336): annotates the existing YAML in place
+    into ``--linearham-info-fname``."""
+    cmd = [partis_binary, "get-linearham-info",
+           "--outfname", partis_yaml_file]
+    if parameter_dir is not None:
+        cmd += ["--parameter-dir", parameter_dir.rstrip("/")]
+    cmd += ["--linearham-info-fname", out_path]
+    subprocess.run(cmd, check=True)
     return out_path
 
 
@@ -170,6 +180,7 @@ def run_family_workflow(
     pfilters: Optional[List[float]] = None,
     indel_reversed_seqs: bool = True,
     precision: Optional[str] = None,
+    template_path: Optional[str] = None,
 ) -> None:
     wf = Workflow(outdir)
     write_git_stamp(outdir)
@@ -196,10 +207,11 @@ def run_family_workflow(
     from linearham_tpu.postprocess.revbayes_config import generate_rev_file
 
     wf.step(
-        "revbayes-config", [rev_file], [cluster_fasta],
+        "revbayes-config", [rev_file],
+        [cluster_fasta] + ([template_path] if template_path else []),
         lambda: generate_rev_file(
             cluster_fasta, rev_file, mcmc_iter, mcmc_thin, tune_iter,
-            tune_thin, num_rates, seed,
+            tune_thin, num_rates, seed, template_path=template_path,
         ),
     )
 
@@ -280,6 +292,10 @@ def _int_list(text: str) -> List[int]:
     return [int(x) for x in str(text).split(",")]
 
 
+def _float_list(text: str) -> List[float]:
+    return [float(x) for x in str(text).split(",")]
+
+
 def run_workflow_grid(base_outdir: str, grid: dict, fixed: dict,
                       nestly_subdirs: bool = True) -> None:
     """Cartesian fan-out over multi-valued MCMC parameters.
@@ -330,7 +346,13 @@ def main(argv=None) -> int:
     p.add_argument("--hmm-param-dir")
     p.add_argument("--cluster-index", type=int)
     p.add_argument("--partition-index", type=int)
-    p.add_argument("--seed-unique-id")
+    p.add_argument("--cluster-seed-unique-id",
+                   help="restrict the analysis to this sequence's cluster "
+                        "(the reference's flag of the same name)")
+    p.add_argument("--template-path",
+                   help="a Rev template to render instead of the built-in "
+                        "model spec ({{ var }} fields substituted, as the "
+                        "reference renders templates/revbayes_template.rev)")
     # Multi-valued (comma-separated) parameters fan out into nested dirs.
     p.add_argument("--mcmc-iter", type=_int_list, default=[10000])
     p.add_argument("--mcmc-thin", type=_int_list, default=[10])
@@ -339,13 +361,17 @@ def main(argv=None) -> int:
     p.add_argument("--num-rates", type=_int_list, default=[4])
     p.add_argument("--burnin-frac", type=float, default=0.1)
     p.add_argument("--subsamp-frac", type=float, default=0.05)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rng-seed", type=_int_list, default=[0],
+                   help="RNG seed(s); multiple values fan out like the "
+                        "other grid parameters (SConstruct:386-399)")
     p.add_argument("--rb-binary", help="RevBayes executable (external)")
     p.add_argument("--lineage-unique-ids", nargs="*", default=None)
     p.add_argument("--no-nestly-subdirs", action="store_true",
                    help="flat one-directory-per-combination layout instead "
                         "of nested subdirectories")
-    p.add_argument("--pfilters", nargs="*", type=float, default=[0.1])
+    p.add_argument("--asr-pfilters", type=_float_list, default=[0.1],
+                   help="comma-separated ancestral-sequence posterior "
+                        "probability thresholds")
     p.add_argument("--precision", choices=["f32", "f64", "auto"],
                    default="auto",
                    help="pipeline compute precision (auto = f32 on TPU, "
@@ -383,19 +409,21 @@ def main(argv=None) -> int:
         "tune_iter": args.tune_iter,
         "tune_thin": args.tune_thin,
         "num_rates": args.num_rates,
+        "seed": args.rng_seed,
     }
     fixed = dict(
         partis_yaml_file=partis_yaml,
         hmm_param_dir=hmm_param_dir,
         cluster_index=args.cluster_index,
         partition_index=args.partition_index,
-        seed_unique_id=args.seed_unique_id,
+        seed_unique_id=args.cluster_seed_unique_id,
         burnin_frac=args.burnin_frac,
-        subsamp_frac=args.subsamp_frac, seed=args.seed,
+        subsamp_frac=args.subsamp_frac,
         rb_binary=args.rb_binary,
         lineage_unique_ids=args.lineage_unique_ids,
-        pfilters=args.pfilters,
+        pfilters=args.asr_pfilters,
         precision=args.precision,
+        template_path=args.template_path,
     )
     run_workflow_grid(args.outdir, grid, fixed,
                       nestly_subdirs=not args.no_nestly_subdirs)
