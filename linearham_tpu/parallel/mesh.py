@@ -81,3 +81,50 @@ def sharded_pipeline(mesh: Mesh, heavy: bool, n_slots: int):
     out_spec = NamedSharding(mesh, P("fam", "trees"))
     step = partial(multi_family_step, heavy=heavy, n_slots=n_slots)
     return jax.jit(step, out_shardings=(out_spec, None))
+
+
+def pooled_repertoire_summary(mesh: Mesh, loglik, rb_loglik) -> dict:
+    """Repertoire-wide pooled statistics, reduced on-device (SURVEY §2g).
+
+    The per-step hot path is embarrassingly parallel by design — zero
+    collectives — but repertoire-level aggregates need one cross-device
+    reduction, and doing it on the mesh (psum/pmax over ICI inside
+    shard_map) avoids gathering the full [F, T] result arrays to one
+    host.  Computes, over (fam, trees)-sharded log-likelihoods:
+
+      * total tree count,
+      * pooled mean LogWeight,
+      * per-family importance-weight ESS = (Σw)²/Σw² of the softmax
+        weights (the quantity the bootstrap stage subsamples by,
+        postprocess/bootstrap_asr.py), pooled to its mean.
+
+    The tree axis is sharded too, so the per-family softmax runs as a
+    distributed logsumexp: pmax for the stabilizing max, psum for the
+    exp sums — the textbook TPU reduction pattern riding ICI.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    spec = P("fam", "trees")
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec, spec),
+             out_specs=(P(), P(), P()))
+    def summary(ll, rb):
+        lw = ll - rb                                       # [f_l, t_l]
+        m = jax.lax.pmax(jnp.max(lw, axis=1, keepdims=True), "trees")
+        e = jnp.exp(lw - m)
+        s1 = jax.lax.psum(jnp.sum(e, axis=1, keepdims=True), "trees")
+        s2 = jax.lax.psum(jnp.sum(e * e, axis=1, keepdims=True), "trees")
+        ess = (s1 * s1) / s2                               # [f_l, 1]
+        n = jax.lax.psum(
+            jnp.asarray(lw.size, lw.dtype), ("fam", "trees"))
+        mean_lw = jax.lax.psum(jnp.sum(lw), ("fam", "trees")) / n
+        n_fam = jax.lax.psum(jnp.asarray(ess.size, lw.dtype), "fam")
+        mean_ess = jax.lax.psum(jnp.sum(ess), "fam") / n_fam
+        return n, mean_lw, mean_ess
+
+    n, mean_lw, mean_ess = jax.jit(summary)(loglik, rb_loglik)
+    return {
+        "n_trees": float(n),
+        "mean_logweight": float(mean_lw),
+        "mean_family_ess": float(mean_ess),
+    }

@@ -58,6 +58,14 @@ def _pad(a: np.ndarray, shape: Tuple[int, ...], fill=0.0) -> np.ndarray:
     return out
 
 
+def _pad_repeat(a: np.ndarray, axis: int, size: int) -> np.ndarray:
+    """Grow ``axis`` to ``size`` by repeating its last element."""
+    if a.ndim <= axis or a.shape[axis] == size:
+        return a
+    idx = np.minimum(np.arange(size), a.shape[axis] - 1)
+    return np.take(a, idx, axis=axis)
+
+
 def _bucket_key(hmm: PhyloHMM) -> Tuple:
     sp = hmm.space
     heavy = sp.is_heavy
@@ -236,6 +244,30 @@ def run_repertoire(
         group = [tasks[i] for i in idxs]
         (trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates,
          n_slots) = _stack_bucket(group, num_rates, dtype)
+        n_keys = len(group)
+
+        if mesh is not None:
+            # NamedSharding needs each sharded axis divisible by its mesh
+            # axis; pad the family axis (repeat the last family) and the
+            # padded tree axis (repeat the last sample) up to multiples —
+            # all dead weight, sliced off below.
+            n_f = mesh.shape["fam"]
+            n_t = mesh.shape["trees"]
+            F_pad = -(-len(group) // n_f) * n_f
+            T_pad = -(-rates.shape[1] // n_t) * n_t
+            n_keys = F_pad
+
+            def pad_f(a):
+                return _pad_repeat(np.asarray(a), 0, F_pad)
+
+            def pad_ft(a):
+                return _pad_repeat(
+                    _pad_repeat(np.asarray(a), 0, F_pad), 1, T_pad)
+
+            trans, consts, xmsa_rows, naive_bases = jax.tree.map(
+                pad_f, (trans, consts, xmsa_rows, naive_bases))
+            tree, eig, pi, rates = jax.tree.map(
+                pad_ft, (tree, eig, pi, rates))
 
         def to_dev(a):
             a = np.asarray(a)
@@ -246,7 +278,7 @@ def run_repertoire(
             to_dev, (trans, consts, xmsa_rows, naive_bases, tree, eig, pi,
                      rates))
         key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, len(group))
+        keys = jax.random.split(sub, n_keys)
 
         if mesh is not None:
             args = shard_family_batch(mesh, *args, keys)

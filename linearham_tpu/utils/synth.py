@@ -150,6 +150,63 @@ def make_family(
     )
 
 
+def make_light_family(
+    n_seqs: int = 6,
+    n_v: int = 2,
+    n_j: int = 2,
+    v_len: int = 280,
+    j_len: int = 50,
+    mutation_rate: float = 0.05,
+    seed: int = 0,
+) -> SyntheticFamily:
+    """Build one synthetic igk clonal family (V-J, no D segment).
+
+    Mirrors ``make_family``'s geometry with the J gene taking the D's
+    place: the single VJ junction window spans the V 3' flex through the
+    J 5' flex (the reference's 5-region light-chain state space,
+    src/HMM.cpp; igk/igl skip D genes entirely).
+    """
+    rng = np.random.default_rng(seed)
+
+    genes: Dict[str, GermlineGene] = {}
+    relpos: Dict[str, int] = {}
+    v_end = 1 + v_len
+    j_rel = v_end - 3                       # J starts inside the V tail
+    L = j_rel + j_len
+    flexbounds = {
+        "v_l": (0, 2),
+        "v_r": (v_end - 7, v_end - 3),
+        "j_l": (v_end - 2, v_end + 2),
+        "j_r": (L, L),
+    }
+
+    for kind, count, length, rel in (
+            ("V", n_v, v_len, 1), ("J", n_j, j_len, j_rel)):
+        for k in range(count):
+            name = f"IGK{kind}_syn*{k:02d}"
+            g = _make_gene(rng, name, kind, length)
+            g.gene_prob = 1.0 / count
+            genes[name] = g
+            relpos[name] = rel
+
+    naive = rng.integers(0, 4, size=L).astype(np.int32)
+    for name, g in genes.items():
+        rel = relpos[name]
+        if name.endswith("*00"):
+            naive[rel:rel + g.length] = g.bases[:L - rel]
+
+    msa = np.tile(naive, (n_seqs, 1))
+    mut = rng.random(msa.shape) < mutation_rate
+    msa[mut] = rng.integers(0, 4, size=mut.sum())
+
+    return SyntheticFamily(
+        genes=genes, locus="igk", flexbounds=flexbounds, relpos=relpos,
+        naive_seq_codes=naive, msa=msa,
+        unique_ids=[f"seq{i}" for i in range(n_seqs)],
+        n_sites=L,
+    )
+
+
 def _codes_to_str(codes: np.ndarray) -> str:
     return "".join((ALPHABET + "N")[c] for c in codes)
 
