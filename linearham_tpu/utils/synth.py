@@ -270,8 +270,6 @@ def write_partis_yaml(
         "has_shm_indels": has_shm,
         "naive_seq": naive,
         "v_gene": v0,
-        "d_gene": next(
-            n for n, g in family.genes.items() if g.gtype == "D"),
         "j_gene": next(
             n for n, g in family.genes.items() if g.gtype == "J"),
         "duplicates": [[] for _ in ids],
@@ -280,6 +278,9 @@ def write_partis_yaml(
             "relpos": dict(family.relpos),
         },
     }
+    d_genes = [n for n, g in family.genes.items() if g.gtype == "D"]
+    if d_genes:                       # igk/igl events carry no d_gene
+        event["d_gene"] = d_genes[0]
     root = {
         "version-info": {"partis-yaml": "0.1"},
         "germline-info": {

@@ -43,6 +43,69 @@ def test_f32_pipeline_matches_f64(family):
     np.testing.assert_allclose(ll32, ll64, rtol=0, atol=F32_LOGLIK_ATOL)
 
 
+def test_f32_kernel_deep_tree_error_bound():
+    """f32 error at 120+ tips, where per-slot renormalization round-off
+    compounds most (ops/pruning_pallas.py's in-kernel rescaling): the
+    interpret-mode f32 Pallas kernel's site log-likelihoods vs the f64
+    XLA path, bounded per site AND as a summed (total-loglik) error
+    (VERDICT round-2 item 7; extends the 6-seq bound above to depth)."""
+    import jax
+
+    from linearham_tpu.ops.pruning import site_log_likelihoods
+    from linearham_tpu.ops.pruning_pallas import site_log_likelihoods_pallas
+    from linearham_tpu.pipeline.run import prepare_ensemble
+
+    fam = make_family(n_seqs=120, seed=17, mutation_rate=0.04)
+    hmm = PhyloHMM.from_parts(
+        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
+        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
+    )
+    samples = make_tree_samples(fam, 2, seed=17)
+    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 4)
+    assert n_slots >= 120 and hmm.xmsa.n_cols >= 700
+
+    def to_dtype(dt):
+        def conv(a):
+            a = np.asarray(a)
+            if np.issubdtype(a.dtype, np.floating):
+                return jnp.asarray(a, dt)
+            return jnp.asarray(a)
+        return conv
+
+    t64 = {k: to_dtype(jnp.float64)(v) for k, v in tree_arrays.items()}
+    eig64 = jax.tree.map(to_dtype(jnp.float64), eig)
+    pi64 = to_dtype(jnp.float64)(samples.pi)
+    rates64 = to_dtype(jnp.float64)(rates)
+
+    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
+                 eparent, elen, root):
+        return site_log_likelihoods(
+            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
+            echild, eparent, elen, root, n_slots)
+
+    want64 = np.asarray(jax.vmap(per_tree)(
+        eig64, pi64, rates64, t64["tip_perm"], t64["tip_parent"],
+        t64["tip_length"], t64["edge_child"], t64["edge_parent"],
+        t64["edge_length"], t64["root_slot"]))
+
+    t32 = {k: to_dtype(jnp.float32)(v) for k, v in tree_arrays.items()}
+    got32 = np.asarray(site_log_likelihoods_pallas(
+        jax.tree.map(to_dtype(jnp.float32), eig),
+        to_dtype(jnp.float32)(samples.pi), to_dtype(jnp.float32)(rates),
+        hmm._xmsa_rows, t32["tip_perm"], t32["tip_parent"],
+        t32["tip_length"], t32["edge_child"], t32["edge_parent"],
+        t32["edge_length"], t32["root_slot"], n_slots=n_slots,
+        interpret=True))
+
+    diff = np.abs(got32 - want64)
+    # Documented deep-tree bounds: per-site partials stay within 2e-3 in
+    # log space at 120 tips; the summed per-tree error (the quantity that
+    # reaches the reported log-likelihood) stays within the same 0.05
+    # budget the 6-seq pipeline bound above pins.
+    assert diff.max() < 2e-3, diff.max()
+    assert np.abs((got32 - want64).sum(axis=1)).max() < 0.05
+
+
 def test_resolve_dtype_explicit():
     assert resolve_dtype("f32") == jnp.float32
     assert resolve_dtype("f64") == jnp.float64
