@@ -102,7 +102,10 @@ def pooled_repertoire_summary(mesh: Mesh, loglik, rb_loglik) -> dict:
     distributed logsumexp: pmax for the stabilizing max, psum for the
     exp sums — the textbook TPU reduction pattern riding ICI.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map          # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     spec = P("fam", "trees")
 

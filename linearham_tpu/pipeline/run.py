@@ -240,15 +240,28 @@ def run_pipeline(
     from linearham_tpu.utils.runtime import enable_persistent_cache, \
         resolve_dtype
 
+    import time as _time
+
     enable_persistent_cache()
+    t0 = _time.perf_counter()
     hmm = PhyloHMM(yaml_path, cluster_ind, hmm_param_dir, seed=seed,
                    dtype=resolve_dtype(precision))
+    build_s = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
     samples = load_tree_samples(input_path)
+    load_s = _time.perf_counter() - t0
     result = run_pipeline_arrays(hmm, samples, num_rates, seed=seed,
                                  chunk_size=chunk_size,
                                  trace_dir=trace_dir)
+    if result.timings is not None:
+        result.timings["build_hmm"] = build_s
+        result.timings["load_trees_tsv"] = load_s
+
+    t0 = _time.perf_counter()
     with open(output_path, "w") as fh:
         write_output_tsv(result, hmm.space.is_heavy, fh)
+    if result.timings is not None:
+        result.timings["write_tsv"] = _time.perf_counter() - t0
     if profile and result.timings:
         import sys
 
