@@ -2,13 +2,13 @@
 """Headline benchmark: posterior-tree pipeline throughput per chip.
 
 Modes (BENCH_MODE):
-  step        (default) the fused device step alone: Felsenstein pruning
-              over the xMSA x 4 gamma rates + HMM forward + FFBS, batched
-              over trees.
-  pipeline    the full production unit, matching the reference's
+  pipeline    (default) the full production unit, matching the reference's
               --pipeline invocation (src/PhyloHMM.cpp:393-446): partis
               YAML + RevBayes TSV in -> per-tree loglik/sample/annotation
               -> output TSV, including host parse/decode/write.
+  step        the fused device step alone: Felsenstein pruning over the
+              xMSA x 4 gamma rates + HMM forward + FFBS, batched over
+              trees.
   repertoire  multi-family stacked execution on one chip.
   scaling     virtual-CPU-mesh sharding-overhead table (no TPU).
 
@@ -209,6 +209,11 @@ def pipeline_mode() -> int:
     compile_s = stages.get("compile_and_first_step", 0.0)
     device_s = stages.get("device_step", 0.0) + compile_s
     trees_per_sec = n_trees / wall
+    # Device-only throughput over the steady-state chunks (the first
+    # chunk is inside compile_and_first_step).
+    steady_trees = max(0, n_trees - chunk)
+    dev_tps = round(steady_trees / stages["device_step"], 1) \
+        if stages.get("device_step") and steady_trees else None
     _emit({
         "metric": "pipeline_end_to_end_trees_per_sec_per_chip",
         "value": round(trees_per_sec, 1),
@@ -217,6 +222,7 @@ def pipeline_mode() -> int:
         "compile_s": round(compile_s, 2),
         "stages": stages,
         "device_frac": round(device_s / wall, 3) if wall else None,
+        "device_trees_per_sec": dev_tps,
         "n_trees": n_trees,
         "n_seqs": n_seqs,
     })
@@ -498,16 +504,19 @@ def _orchestrate(mode: str) -> int:
 
 def main() -> int:
     _enable_cache()
-    mode = os.environ.get("BENCH_MODE", "step")
+    # The DEFAULT measurement is the full production unit (pipeline mode):
+    # it is what the reference's --pipeline invocation does, host work and
+    # all.  BENCH_MODE=step isolates the fused device step.
+    mode = os.environ.get("BENCH_MODE", "pipeline")
     if mode == "scaling":
         return scaling_mode()         # CPU-only; no tunnel, no deadline
     if os.environ.get("BENCH_INNER") != "1":
         return _orchestrate(mode)
     if mode == "repertoire":
         return repertoire_mode()
-    if mode == "pipeline":
-        return pipeline_mode()
-    return step_mode()
+    if mode == "step":
+        return step_mode()
+    return pipeline_mode()
 
 
 if __name__ == "__main__":
