@@ -41,10 +41,6 @@ class PipelineResult:
     timings: Optional[dict] = None  # stage -> seconds
 
 
-def _chunk_pad(arrs, start, size, total):
-    """Slice [start:start+size], padding past-the-end with the last row."""
-    idx = np.minimum(np.arange(start, start + size), total - 1)
-    return [a[idx] for a in arrs]
 
 
 def prepare_ensemble(hmm: PhyloHMM, samples: TreeSamples, num_rates: int):
@@ -92,17 +88,72 @@ def run_pipeline_arrays(
     chunk_size: int = 256,
     trace_dir: Optional[str] = None,
 ) -> PipelineResult:
-    """Run the full ensemble through the fused device step."""
+    """Run the full ensemble through the fused device step.
+
+    Host work is streamed per chunk inside the software pipeline: chunk
+    k+1's Newick parse + GTR eigendecomposition + transfers and chunk
+    k-1's annotation decode all happen while chunk k runs on the device,
+    so at production depth the wall time tracks the device step rather
+    than the sum of all stages.
+    """
+    from linearham_tpu.io.native import parse_newicks_batch
     from linearham_tpu.utils.profiling import StageTimer, maybe_trace
 
     timer = StageTimer()
     T = samples.n_samples
     chunk_size = min(chunk_size, T)
-
     dtype = hmm._dtype
+
     with timer.stage("host_prepare"):
-        dev_tree_full, eig_full, rates, n_slots = prepare_ensemble(
-            hmm, samples, num_rates)
+        rates_all = gamma_category_rates_batch(samples.alpha, num_rates)
+    er_all = np.asarray(samples.er)
+    pi_all = np.asarray(samples.pi)
+
+    # All chunks must share one compiled step shape; the first chunk pins
+    # (n_slots, E) and later chunks pad up to it (sink-slot no-op edges,
+    # exactly the padding contract the kernel already honors).  A deeper
+    # later chunk simply retraces at its larger shape.
+    shapes: dict = {}
+
+    def parse_chunk(idx):
+        newicks = [samples.newicks[i] for i in idx]
+        tb = parse_newicks_batch(newicks, hmm.xmsa.labels)
+        if tb is None:
+            tb = batch_trees([parse_newick(nw) for nw in newicks],
+                             hmm.xmsa.labels)
+        return tb
+
+    def harmonize(tb):
+        if not shapes:
+            shapes["n_slots"] = tb.n_slots
+            shapes["e_max"] = tb.edge_child.shape[1]
+        n_slots = max(shapes["n_slots"], tb.n_slots)
+        e_max = max(shapes["e_max"], tb.edge_child.shape[1])
+        shapes["n_slots"], shapes["e_max"] = n_slots, e_max
+        if tb.n_slots == n_slots and tb.edge_child.shape[1] == e_max:
+            return tb, n_slots
+        sink_old, sink = tb.n_slots - 1, n_slots - 1
+        n, e_own = tb.edge_child.shape
+
+        def grow(a, fill):
+            out = np.full((n, e_max), fill, dtype=a.dtype)
+            out[:, :e_own] = a
+            return out
+
+        ec = grow(tb.edge_child, sink)
+        ep = grow(tb.edge_parent, sink)
+        el = grow(tb.edge_length, 0.0)
+        tp = tb.tip_parent.copy()
+        if sink_old != sink:
+            ec[ec == sink_old] = sink
+            ep[ep == sink_old] = sink
+            tp[tp == sink_old] = sink
+        tb = type(tb)(
+            tip_perm=tb.tip_perm, tip_parent=tp, tip_length=tb.tip_length,
+            edge_child=ec, edge_parent=ep, edge_length=el,
+            root_slot=tb.root_slot, n_slots=n_slots,
+        )
+        return tb, n_slots
 
     step = phylo_step_jit
     key = jax.random.PRNGKey(seed)
@@ -111,31 +162,32 @@ def run_pipeline_arrays(
     paths = []
 
     def stage_chunk(start):
-        """Enqueue chunk ``start``'s host->device transfers (async)."""
+        """Parse + eigendecompose + enqueue chunk ``start``'s transfers
+        (the device_puts are async)."""
+        idx = np.minimum(np.arange(start, start + chunk_size), T - 1)
+        with timer.stage("host_prepare"):
+            tb, n_slots = harmonize(parse_chunk(idx))
+            eig_np = gtr_eigen(er_all[idx], pi_all[idx])
         with timer.stage("device_transfer"):
             tree_c = {
-                k: jnp.asarray(
-                    _chunk_pad([v], start, chunk_size, T)[0],
-                    dtype if np.issubdtype(v.dtype, np.floating)
-                    else None)
-                for k, v in dev_tree_full.items()
+                "tip_perm": jnp.asarray(tb.tip_perm),
+                "tip_parent": jnp.asarray(tb.tip_parent),
+                "tip_length": jnp.asarray(tb.tip_length, dtype),
+                "edge_child": jnp.asarray(tb.edge_child),
+                "edge_parent": jnp.asarray(tb.edge_parent),
+                "edge_length": jnp.asarray(tb.edge_length, dtype),
+                "root_slot": jnp.asarray(tb.root_slot),
             }
             eig_c = jax.tree.map(
-                lambda a: jnp.asarray(
-                    _chunk_pad([np.asarray(a)], start, chunk_size, T)[0],
-                    dtype),
-                eig_full,
-            )
-            pi_c, rates_c = (
-                jnp.asarray(x, dtype) for x in
-                _chunk_pad([samples.pi, rates], start, chunk_size, T)
-            )
-        return tree_c, eig_c, pi_c, rates_c
+                lambda a: jnp.asarray(np.asarray(a), dtype), eig_np)
+            pi_c = jnp.asarray(pi_all[idx], dtype)
+            rates_c = jnp.asarray(rates_all[idx], dtype)
+        return tree_c, eig_c, pi_c, rates_c, n_slots
 
     # Software pipeline over chunks: dispatch chunk k's device step
-    # (async), THEN stage chunk k+1's transfers and decode chunk k-1's
-    # paths while the device is busy, and only then block on chunk k.
-    # Transfers and host decode thus overlap device compute instead of
+    # (async), THEN stage chunk k+1 (parse/eigen/transfers) and decode
+    # chunk k-1's paths while the device is busy, and only then block on
+    # chunk k.  Host work thus overlaps device compute instead of
     # serializing with it (the reference interleaves libpll work and TSV
     # output serially per tree, src/PhyloHMM.cpp:393-446).
     staged = stage_chunk(0)
@@ -143,7 +195,7 @@ def run_pipeline_arrays(
     first_chunk = True
     with maybe_trace(trace_dir):
         for start in range(0, T, chunk_size):
-            tree_c, eig_c, pi_c, rates_c = staged
+            tree_c, eig_c, pi_c, rates_c, n_slots = staged
             key, subkey = jax.random.split(key)
             stage = "compile_and_first_step" if first_chunk \
                 else "device_step"
@@ -169,7 +221,7 @@ def run_pipeline_arrays(
 
     return PipelineResult(
         samples=samples,
-        rates=rates,
+        rates=rates_all,
         lh_loglik=logliks,
         logweight=logliks - samples.rb_loglik,
         annotations=paths,
