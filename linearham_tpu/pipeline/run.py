@@ -70,14 +70,17 @@ def prepare_ensemble(hmm: PhyloHMM, samples: TreeSamples, num_rates: int):
 
 
 def _drain_chunk(hmm, timer, logliks, paths, start, n_valid, loglik_c,
-                 path_c) -> None:
+                 path_c, on_chunk=None) -> None:
     """Block on one chunk's device outputs and decode its annotations."""
     with timer.stage("device_step"):
         loglik_np = np.asarray(loglik_c)   # blocks until the step is done
     logliks[start:start + n_valid] = loglik_np[:n_valid]
     with timer.stage("decode"):
         path_np = jax.tree.map(lambda a: np.asarray(a)[:n_valid], path_c)
-        paths.extend(hmm._decode_batch(path_np))
+        anns = hmm._decode_batch(path_np)
+        paths.extend(anns)
+    if on_chunk is not None:
+        on_chunk(start, n_valid, loglik_np[:n_valid], anns)
 
 
 def run_pipeline_arrays(
@@ -87,8 +90,13 @@ def run_pipeline_arrays(
     seed: int = 0,
     chunk_size: int = 256,
     trace_dir: Optional[str] = None,
+    on_chunk=None,
 ) -> PipelineResult:
     """Run the full ensemble through the fused device step.
+
+    ``on_chunk(start, n_valid, logliks, annotations)`` (optional) fires
+    as each chunk drains, enabling streamed output writing that overlaps
+    the remaining device work.
 
     Host work is streamed per chunk inside the software pipeline: chunk
     k+1's Newick parse + GTR eigendecomposition + transfers and chunk
@@ -214,10 +222,12 @@ def run_pipeline_arrays(
             if start + chunk_size < T:
                 staged = stage_chunk(start + chunk_size)
             if pending is not None:
-                _drain_chunk(hmm, timer, logliks, paths, *pending)
+                _drain_chunk(hmm, timer, logliks, paths, *pending,
+                             on_chunk=on_chunk)
             pending = (start, min(chunk_size, T - start), loglik_c, path_c)
         if pending is not None:
-            _drain_chunk(hmm, timer, logliks, paths, *pending)
+            _drain_chunk(hmm, timer, logliks, paths, *pending,
+                         on_chunk=on_chunk)
 
     return PipelineResult(
         samples=samples,
@@ -229,10 +239,8 @@ def run_pipeline_arrays(
     )
 
 
-def write_output_tsv(result: PipelineResult, heavy: bool,
-                     outfile: TextIO) -> None:
-    """Write the reference-format pipeline TSV."""
-    num_rates = result.rates.shape[1]
+def write_tsv_header(num_rates: int, heavy: bool, outfile: TextIO) -> None:
+    """Write the reference-format pipeline TSV header row."""
     cols = (
         ["Iteration", "RBLogLikelihood", "Prior", "alpha"]
         + [f"er[{i}]" for i in range(1, 7)]
@@ -249,15 +257,28 @@ def write_output_tsv(result: PipelineResult, heavy: bool,
     cols += ["JGene", "J5pDel", "J3pDel", "JFwkInsertion"]
     outfile.write("\t".join(cols) + "\n")
 
-    s = result.samples
-    for t in range(s.n_samples):
-        ann = result.annotations[t]
+
+def write_tsv_rows(samples: TreeSamples, rates, lh_loglik, logweight,
+                   annotations, start: int, n: int, heavy: bool,
+                   outfile: TextIO) -> None:
+    """Write rows [start, start+n) of the pipeline TSV.
+
+    ``lh_loglik``/``logweight``/``annotations`` are indexed from
+    ``start`` 0-relative when their length is ``n`` (streamed chunks) or
+    absolutely when full-length.
+    """
+    rel = len(annotations) == n
+    s = samples
+    for t in range(start, start + n):
+        i = t - start if rel else t
+        ann = annotations[i]
         row = (
             [s.iteration[t], s.rb_loglik[t], s.prior[t], s.alpha[t]]
             + list(s.er[t]) + list(s.pi[t])
             + [_COMMENT_RE.sub("", s.newicks[t])]
-            + list(result.rates[t])
-            + [result.lh_loglik[t], result.logweight[t], ann.naive_seq,
+            + list(rates[t])
+            + [lh_loglik[i] if rel else lh_loglik[t],
+               logweight[i] if rel else logweight[t], ann.naive_seq,
                ann.vgerm_state, ann.v_5p_del, ann.v_3p_del,
                ann.v_fwk_insertion]
         )
@@ -269,6 +290,15 @@ def write_output_tsv(result: PipelineResult, heavy: bool,
         row += [ann.jgerm_state, ann.j_5p_del, ann.j_3p_del,
                 ann.j_fwk_insertion]
         outfile.write("\t".join(str(v) for v in row) + "\n")
+
+
+def write_output_tsv(result: PipelineResult, heavy: bool,
+                     outfile: TextIO) -> None:
+    """Write the reference-format pipeline TSV (header + all rows)."""
+    write_tsv_header(result.rates.shape[1], heavy, outfile)
+    write_tsv_rows(result.samples, result.rates, result.lh_loglik,
+                   result.logweight, result.annotations, 0,
+                   result.samples.n_samples, heavy, outfile)
 
 
 def run_pipeline(
@@ -302,18 +332,32 @@ def run_pipeline(
     t0 = _time.perf_counter()
     samples = load_tree_samples(input_path)
     load_s = _time.perf_counter() - t0
-    result = run_pipeline_arrays(hmm, samples, num_rates, seed=seed,
-                                 chunk_size=chunk_size,
-                                 trace_dir=trace_dir)
+
+    # Stream output rows as each chunk drains: the TSV write overlaps the
+    # remaining device work instead of serializing after it.
+    from linearham_tpu.ops.gtr import gamma_category_rates_batch
+
+    rates = gamma_category_rates_batch(samples.alpha, num_rates)
+    heavy = hmm.space.is_heavy
+    write_s = [0.0]
+    with open(output_path, "w") as fh:
+        write_tsv_header(num_rates, heavy, fh)
+
+        def on_chunk(start, n, loglik, anns):
+            t0 = _time.perf_counter()
+            lw = loglik - samples.rb_loglik[start:start + n]
+            write_tsv_rows(samples, rates, loglik, lw, anns, start, n,
+                           heavy, fh)
+            write_s[0] += _time.perf_counter() - t0
+
+        result = run_pipeline_arrays(hmm, samples, num_rates, seed=seed,
+                                     chunk_size=chunk_size,
+                                     trace_dir=trace_dir,
+                                     on_chunk=on_chunk)
     if result.timings is not None:
         result.timings["build_hmm"] = build_s
         result.timings["load_trees_tsv"] = load_s
-
-    t0 = _time.perf_counter()
-    with open(output_path, "w") as fh:
-        write_output_tsv(result, hmm.space.is_heavy, fh)
-    if result.timings is not None:
-        result.timings["write_tsv"] = _time.perf_counter() - t0
+        result.timings["write_tsv"] = write_s[0]
     if profile and result.timings:
         import sys
 
