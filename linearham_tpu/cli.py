@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print per-stage wall-clock timings to stderr")
     p.add_argument("--trace-dir",
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--chunk-size", type=int, default=256,
+                   help="trees per fused device step (larger chunks "
+                        "amortize dispatch overhead; default 256)")
     return top
 
 
@@ -127,7 +130,8 @@ def main(argv=None) -> int:
         run_pipeline(
             args.yaml_path, args.cluster_ind, args.hmm_param_dir,
             args.input_path, args.output_path, args.num_rates,
-            seed=args.seed, profile=args.profile, trace_dir=args.trace_dir,
+            seed=args.seed, chunk_size=args.chunk_size,
+            profile=args.profile, trace_dir=args.trace_dir,
             precision=args.precision,
         )
     return 0
