@@ -115,3 +115,21 @@ def test_cli_compute_logl(fixtures_dir):
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr
     assert float(out.stdout.strip()) == pytest.approx(-75.8136, abs=1e-3)
+
+
+def test_streamed_tsv_matches_batch_write(fixtures_dir, tmp_path):
+    """run_pipeline's chunk-streamed TSV must be byte-identical to the
+    after-the-fact write_output_tsv of its returned result."""
+    from linearham_tpu.pipeline.run import run_pipeline
+
+    tsv = tmp_path / "in.tsv"
+    _make_tsv(tsv, n_rows=7, seed=9)
+    out = tmp_path / "out.tsv"
+    result = run_pipeline(
+        str(fixtures_dir / "phylo_hmm_input.yaml"), 0,
+        str(fixtures_dir / "hmm_params"), str(tsv), str(out),
+        num_rates=4, seed=0, chunk_size=3, precision="f64",
+    )
+    buf = io.StringIO()
+    write_output_tsv(result, heavy=True, outfile=buf)
+    assert out.read_text() == buf.getvalue()
