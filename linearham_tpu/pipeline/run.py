@@ -1,10 +1,11 @@
 """The batched posterior-ensemble pipeline.
 
 The reference walks the RevBayes TSV one tree at a time, rebuilding a libpll
-partition per row (src/PhyloHMM.cpp:393-446).  Here the whole ensemble is
-parsed up front, padded into fixed-shape chunks, and each chunk runs as ONE
-jitted device computation (pruning + forward + FFBS for every tree at
-once); annotations are decoded host-side and streamed to the output TSV.
+partition per row (src/PhyloHMM.cpp:393-446).  Here the ensemble runs as a
+software pipeline over fixed-shape chunks: each chunk is ONE jitted device
+computation (pruning + forward + FFBS for every tree at once), while the
+host concurrently parses/stages the next chunk, decodes the previous
+chunk's annotations, and streams rows to the output TSV.
 
 Output columns match the reference contract exactly
 (src/PhyloHMM.cpp:244-327).
