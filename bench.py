@@ -102,32 +102,22 @@ def step_mode() -> int:
     transfer_s = _flush_transfers(
         (hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
          tree_dev, eig_dev, pi_dev, rates_dev))
-    # Split trace / XLA-compile (where the persistent cache hits) / first
-    # execution (one tunnel round-trip) so the cold-vs-warm story in the
-    # orchestrator attributes the win to the cache, not to luck.
-    t0 = time.perf_counter()
-    lowered = phylo_step_jit.lower(
-        hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
-        tree_dev, eig_dev, pi_dev, rates_dev, keys[0],
-        heavy=True, n_slots=n_slots)
-    trace_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    compiled = lowered.compile()
-    xla_compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    loglik, _, path = compiled(
-        hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
-        tree_dev, eig_dev, pi_dev, rates_dev, keys[0])
-    float(loglik.sum() + path.jgerm_idx.sum())  # host read = true sync
-    first_exec_s = time.perf_counter() - t0
-    compile_s = trace_s + xla_compile_s + first_exec_s
-
+    # Compile via the ordinary jit call path: AOT .lower().compile()
+    # BYPASSES the persistent compilation cache (measured: warm 40.8s ==
+    # cold 40.3s via AOT, vs 18.6s -> 8.7s cross-process through the jit
+    # path), so a jit call is the only measurement that shows the
+    # cache working.
     def step(subkey):
-        # Reuse the AOT-compiled executable (phylo_step_jit's own call
-        # cache is a separate entry; going through it would recompile).
-        return compiled(
+        return phylo_step_jit(
             hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
-            tree_dev, eig_dev, pi_dev, rates_dev, subkey)
+            tree_dev, eig_dev, pi_dev, rates_dev, subkey,
+            heavy=True, n_slots=n_slots,
+        )
+
+    t0 = time.perf_counter()
+    loglik, _, path = step(keys[0])
+    float(loglik.sum() + path.jgerm_idx.sum())  # host read = true sync
+    compile_s = time.perf_counter() - t0
 
     times = []
     for i in range(reps):
@@ -146,15 +136,12 @@ def step_mode() -> int:
         "unit": "trees/s",
         "vs_baseline": round(trees_per_sec / BASELINE_TREES_PER_SEC, 3),
         "compile_s": round(compile_s, 2),
-        "xla_compile_s": round(xla_compile_s, 2),
     })
     print(
         f"# n_trees={n_trees} n_seqs={n_seqs} sites={fam.n_sites} "
         f"xmsa_cols={hmm.xmsa.n_cols} chain={K} median={best * 1e3:.2f}ms "
         f"times_ms={[round(t * 1e3, 3) for t in times]} "
-        f"compile={compile_s:.1f}s (trace={trace_s:.1f} "
-        f"xla={xla_compile_s:.1f} first_exec={first_exec_s:.1f}) "
-        f"transfer={transfer_s:.1f}s "
+        f"compile={compile_s:.1f}s transfer={transfer_s:.1f}s "
         f"host_prep={host_prep_s:.2f}s "
         f"device={jax.devices()[0].device_kind} "
         f"mean_loglik={float(loglik.mean()):.2f}",
@@ -228,9 +215,16 @@ def pipeline_mode() -> int:
     })
     import jax
 
+    from linearham_tpu.models.phylo_hmm import _use_pallas_pruning
+    from linearham_tpu.utils.runtime import resolve_dtype
+
+    dtype = resolve_dtype(None)
     print(f"# pipeline n_trees={n_trees} n_seqs={n_seqs} chunk={chunk} "
           f"wall={wall:.2f}s stages={stages} "
-          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+          f"device={jax.devices()[0].device_kind} "
+          f"backend={jax.default_backend()} "
+          f"platform={jax.devices()[0].platform} dtype={dtype.__name__} "
+          f"pallas={_use_pallas_pruning(dtype)}", file=sys.stderr)
     return 0
 
 

@@ -48,12 +48,14 @@ def _use_pallas_pruning(dtype) -> bool:
     """
     import os
 
+    from linearham_tpu.utils.runtime import on_tpu
+
     mode = os.environ.get("LINEARHAM_PRUNING_IMPL", "auto")
     if mode == "xla":
         return False
     if mode == "pallas":
         return True
-    return jax.default_backend() == "tpu" and dtype == jnp.float32
+    return on_tpu() and dtype == jnp.float32
 
 
 # Stand-in for -inf while emissions flow through matmuls (0 * -inf = NaN
@@ -232,10 +234,59 @@ def phylo_map_step(
     return viterbi(trans, emis, heavy)
 
 
+def phylo_step_packed(
+    trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates, key,
+    heavy: bool, n_slots: int,
+):
+    """phylo_step with the sampled path packed into ONE int32 array.
+
+    Over the remote-TPU tunnel every device->host array read pays a fixed
+    ~0.5 s round trip, so the pipeline's per-chunk drain of 5 separate
+    path arrays cost more than the device step itself; packing them
+    device-side (a free concat) cuts the drain to 2 reads.  The unused
+    xMSA emission output is dropped so XLA dead-code-eliminates it.
+
+    Layout: [vgerm, (dgerm,) jgerm, vd_rows..., (dj_rows...)];
+    ``unpack_path`` reverses it host-side.
+    """
+    loglik, _, path = phylo_step(
+        trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates, key,
+        heavy=heavy, n_slots=n_slots)
+    head = [path.vgerm_idx[:, None]]
+    if heavy:
+        head.append(path.dgerm_idx[:, None])
+    head.append(path.jgerm_idx[:, None])
+    tail = [path.vd_idx] + ([path.dj_idx] if heavy else [])
+    packed = jnp.concatenate(
+        [jnp.asarray(c, jnp.int32) for c in head + tail], axis=1)
+    return loglik, packed
+
+
+def unpack_path(packed: np.ndarray, heavy: bool, r1: int) -> SampledPath:
+    """Host-side inverse of phylo_step_packed's path layout."""
+    if heavy:
+        return SampledPath(
+            vgerm_idx=packed[:, 0],
+            dgerm_idx=packed[:, 1],
+            jgerm_idx=packed[:, 2],
+            vd_idx=packed[:, 3:3 + r1],
+            dj_idx=packed[:, 3 + r1:],
+        )
+    return SampledPath(
+        vgerm_idx=packed[:, 0],
+        dgerm_idx=None,
+        jgerm_idx=packed[:, 1],
+        vd_idx=packed[:, 2:2 + r1],
+        dj_idx=None,
+    )
+
+
 # Module-level jits: per-call jax.jit wrappers would retrace on every
 # invocation (the reference's --sample explicitly caches its forward pass,
 # src/linearham.cpp:384-386); hoisting shares the trace cache process-wide.
 phylo_step_jit = jax.jit(phylo_step, static_argnames=("heavy", "n_slots"))
+phylo_step_packed_jit = jax.jit(
+    phylo_step_packed, static_argnames=("heavy", "n_slots"))
 phylo_emissions_jit = jax.jit(
     phylo_emissions, static_argnames=("heavy", "n_slots"))
 forward_jit = jax.jit(forward, static_argnames=("heavy",))

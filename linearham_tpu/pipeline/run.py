@@ -24,7 +24,8 @@ import numpy as np
 from linearham_tpu.io.newick import batch_trees, parse_newick
 from linearham_tpu.io.trees_tsv import TreeSamples, load_tree_samples
 from linearham_tpu.models.decode import Annotation
-from linearham_tpu.models.phylo_hmm import PhyloHMM, phylo_step_jit
+from linearham_tpu.models.phylo_hmm import (PhyloHMM, phylo_step_packed_jit,
+                                            unpack_path)
 from linearham_tpu.ops.gtr import gamma_category_rates_batch, gtr_eigen
 
 _COMMENT_RE = re.compile(r"\[[^\]]*\]")
@@ -71,13 +72,19 @@ def prepare_ensemble(hmm: PhyloHMM, samples: TreeSamples, num_rates: int):
 
 
 def _drain_chunk(hmm, timer, logliks, paths, start, n_valid, loglik_c,
-                 path_c, on_chunk=None) -> None:
-    """Block on one chunk's device outputs and decode its annotations."""
+                 packed_c, on_chunk=None) -> None:
+    """Block on one chunk's device outputs and decode its annotations.
+
+    The sampled paths arrive as ONE packed int32 array (two host reads
+    per chunk total — each read costs a fixed round trip on remote
+    devices; see phylo_step_packed)."""
     with timer.stage("device_step"):
         loglik_np = np.asarray(loglik_c)   # blocks until the step is done
+        packed_np = np.asarray(packed_c)
     logliks[start:start + n_valid] = loglik_np[:n_valid]
     with timer.stage("decode"):
-        path_np = jax.tree.map(lambda a: np.asarray(a)[:n_valid], path_c)
+        path_np = unpack_path(packed_np[:n_valid], hmm.space.is_heavy,
+                              hmm.space.vd_junction.n_rows)
         anns = hmm._decode_batch(path_np)
         paths.extend(anns)
     if on_chunk is not None:
@@ -164,7 +171,7 @@ def run_pipeline_arrays(
         )
         return tb, n_slots
 
-    step = phylo_step_jit
+    step = phylo_step_packed_jit
     key = jax.random.PRNGKey(seed)
 
     logliks = np.zeros(T)
@@ -209,7 +216,7 @@ def run_pipeline_arrays(
             stage = "compile_and_first_step" if first_chunk \
                 else "device_step"
             with timer.stage(stage):
-                loglik_c, _, path_c = step(
+                loglik_c, path_c = step(
                     hmm._trans, hmm._consts, hmm._xmsa_rows,
                     hmm._naive_bases, tree_c, eig_c, pi_c, rates_c, subkey,
                     heavy=hmm.space.is_heavy, n_slots=n_slots,

@@ -48,6 +48,26 @@ def enable_persistent_cache(cache_dir: Optional[str] = None) -> str:
     return cache_dir
 
 
+def on_tpu() -> bool:
+    """True when the default JAX device is a TPU.
+
+    Checks the device's platform AND device_kind rather than only the
+    backend's platform name: TPU plugin backends may register under
+    other names, and `jax.default_backend() == "tpu"` would silently
+    miss them — routing production runs onto the f64 XLA fallback path
+    at a ~100x slowdown.  (The axon remote-TPU relay does report
+    platform 'tpu'; this guard is for plugin backends that don't.)
+    """
+    import jax
+
+    try:
+        d = jax.devices()[0]
+    except Exception:
+        return False
+    return ("tpu" in (getattr(d, "platform", "") or "").lower()
+            or "tpu" in (getattr(d, "device_kind", "") or "").lower())
+
+
 def resolve_dtype(precision: Optional[str] = None):
     """Map a --precision flag onto a jnp dtype.
 
@@ -60,7 +80,7 @@ def resolve_dtype(precision: Optional[str] = None):
     import jax.numpy as jnp
 
     if precision in (None, "auto"):
-        precision = "f32" if jax.default_backend() == "tpu" else "f64"
+        precision = "f32" if on_tpu() else "f64"
     if precision in ("f32", "float32"):
         return jnp.float32
     if precision in ("f64", "float64"):

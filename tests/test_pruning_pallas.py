@@ -186,7 +186,7 @@ def test_kernel_deep_tree_production_width():
 
 @pytest.mark.tpu
 @pytest.mark.skipif(
-    jax.default_backend() != "tpu",
+    jax.default_backend() not in ("tpu", "axon"),
     reason="needs a real TPU (LINEARHAM_TEST_TPU=1)")
 def test_kernel_compiled_on_tpu_matches_xla():
     """The COMPILED Mosaic kernel vs the XLA path on device -- catches
