@@ -164,7 +164,9 @@ def pipeline_mode() -> int:
 
     n_trees = int(os.environ.get("BENCH_TREES", "10240"))
     n_seqs = int(os.environ.get("BENCH_SEQS", "100"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "2048"))
+    # 4096-tree chunks halve the number of fixed-round-trip chunk drains
+    # vs 2048 and keep the kernel's internal SMEM chunking unchanged.
+    chunk = int(os.environ.get("BENCH_CHUNK", "4096"))
 
     from linearham_tpu.io.germline import write_gene_dir
     from linearham_tpu.pipeline.run import run_pipeline

@@ -252,33 +252,49 @@ def phylo_step_packed(
     loglik, _, path = phylo_step(
         trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates, key,
         heavy=heavy, n_slots=n_slots)
-    head = [path.vgerm_idx[:, None]]
+    # Leading column(s) carry the log-likelihood bit-cast into int32 (one
+    # column for f32, two for f64 — full precision kept) so the whole
+    # chunk result is ONE host read.
+    ll_bits = jax.lax.bitcast_convert_type(
+        loglik[:, None], jnp.int32).reshape(loglik.shape[0], -1)
+    head = [ll_bits, path.vgerm_idx[:, None]]
     if heavy:
         head.append(path.dgerm_idx[:, None])
     head.append(path.jgerm_idx[:, None])
     tail = [path.vd_idx] + ([path.dj_idx] if heavy else [])
-    packed = jnp.concatenate(
+    return jnp.concatenate(
         [jnp.asarray(c, jnp.int32) for c in head + tail], axis=1)
-    return loglik, packed
 
 
-def unpack_path(packed: np.ndarray, heavy: bool, r1: int) -> SampledPath:
-    """Host-side inverse of phylo_step_packed's path layout."""
+def unpack_path(packed: np.ndarray, heavy: bool, r1: int,
+                f64: bool = False):
+    """Host-side inverse of phylo_step_packed's layout.
+
+    Returns (loglik [T] in the step's float width, SampledPath of int
+    index arrays).
+    """
+    k = 2 if f64 else 1
+    ftype = np.float64 if f64 else np.float32
+    loglik = np.ascontiguousarray(packed[:, :k]).view(ftype).ravel()
+    loglik = loglik.astype(np.float64)
+    body = packed[:, k:]
     if heavy:
-        return SampledPath(
-            vgerm_idx=packed[:, 0],
-            dgerm_idx=packed[:, 1],
-            jgerm_idx=packed[:, 2],
-            vd_idx=packed[:, 3:3 + r1],
-            dj_idx=packed[:, 3 + r1:],
+        path = SampledPath(
+            vgerm_idx=body[:, 0],
+            dgerm_idx=body[:, 1],
+            jgerm_idx=body[:, 2],
+            vd_idx=body[:, 3:3 + r1],
+            dj_idx=body[:, 3 + r1:],
         )
-    return SampledPath(
-        vgerm_idx=packed[:, 0],
-        dgerm_idx=None,
-        jgerm_idx=packed[:, 1],
-        vd_idx=packed[:, 2:2 + r1],
-        dj_idx=None,
-    )
+    else:
+        path = SampledPath(
+            vgerm_idx=body[:, 0],
+            dgerm_idx=None,
+            jgerm_idx=body[:, 1],
+            vd_idx=body[:, 2:2 + r1],
+            dj_idx=None,
+        )
+    return loglik, path
 
 
 # Module-level jits: per-call jax.jit wrappers would retrace on every

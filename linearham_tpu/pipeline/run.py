@@ -71,24 +71,25 @@ def prepare_ensemble(hmm: PhyloHMM, samples: TreeSamples, num_rates: int):
     return tree_arrays, eig, rates, tb.n_slots
 
 
-def _drain_chunk(hmm, timer, logliks, paths, start, n_valid, loglik_c,
-                 packed_c, on_chunk=None) -> None:
+def _drain_chunk(hmm, timer, logliks, paths, start, n_valid, packed_c,
+                 on_chunk=None) -> None:
     """Block on one chunk's device outputs and decode its annotations.
 
-    The sampled paths arrive as ONE packed int32 array (two host reads
-    per chunk total — each read costs a fixed round trip on remote
-    devices; see phylo_step_packed)."""
+    Log-likelihoods and sampled paths arrive as ONE packed int32 array
+    (a single host read per chunk — each read costs a fixed round trip
+    on remote devices; see phylo_step_packed)."""
     with timer.stage("device_step"):
-        loglik_np = np.asarray(loglik_c)   # blocks until the step is done
-        packed_np = np.asarray(packed_c)
-    logliks[start:start + n_valid] = loglik_np[:n_valid]
+        packed_np = np.asarray(packed_c)   # blocks until the step is done
     with timer.stage("decode"):
-        path_np = unpack_path(packed_np[:n_valid], hmm.space.is_heavy,
-                              hmm.space.vd_junction.n_rows)
+        loglik_np, path_np = unpack_path(
+            packed_np[:n_valid], hmm.space.is_heavy,
+            hmm.space.vd_junction.n_rows,
+            f64=hmm._dtype == jnp.float64)
+        logliks[start:start + n_valid] = loglik_np
         anns = hmm._decode_batch(path_np)
         paths.extend(anns)
     if on_chunk is not None:
-        on_chunk(start, n_valid, loglik_np[:n_valid], anns)
+        on_chunk(start, n_valid, loglik_np, anns)
 
 
 def run_pipeline_arrays(
@@ -207,7 +208,7 @@ def run_pipeline_arrays(
     # serializing with it (the reference interleaves libpll work and TSV
     # output serially per tree, src/PhyloHMM.cpp:393-446).
     staged = stage_chunk(0)
-    pending = None   # (start, n_valid, loglik_c, path_c) awaiting decode
+    pending = None   # (start, n_valid, packed_c) awaiting decode
     first_chunk = True
     with maybe_trace(trace_dir):
         for start in range(0, T, chunk_size):
@@ -216,7 +217,7 @@ def run_pipeline_arrays(
             stage = "compile_and_first_step" if first_chunk \
                 else "device_step"
             with timer.stage(stage):
-                loglik_c, path_c = step(
+                path_c = step(
                     hmm._trans, hmm._consts, hmm._xmsa_rows,
                     hmm._naive_bases, tree_c, eig_c, pi_c, rates_c, subkey,
                     heavy=hmm.space.is_heavy, n_slots=n_slots,
@@ -225,14 +226,14 @@ def run_pipeline_arrays(
                     # The first dispatch pays compile (unless the
                     # persistent cache hits); block here so --profile
                     # separates compile cost from steady-state time.
-                    jax.block_until_ready(loglik_c)
+                    jax.block_until_ready(path_c)
             first_chunk = False
             if start + chunk_size < T:
                 staged = stage_chunk(start + chunk_size)
             if pending is not None:
                 _drain_chunk(hmm, timer, logliks, paths, *pending,
                              on_chunk=on_chunk)
-            pending = (start, min(chunk_size, T - start), loglik_c, path_c)
+            pending = (start, min(chunk_size, T - start), path_c)
         if pending is not None:
             _drain_chunk(hmm, timer, logliks, paths, *pending,
                          on_chunk=on_chunk)
