@@ -5,6 +5,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,8 +35,14 @@ class CompiledFamily:
     genes: Dict[str, GermlineGene]
     trans: TransitionSet
 
-    def device_transitions(self, dtype=jnp.float64) -> Dict[str, jnp.ndarray]:
-        """The transition pytree consumed by ops.forward.forward."""
+    def host_transitions(self, dtype=np.float64) -> Dict[str, np.ndarray]:
+        """The transition pytree as HOST numpy arrays.
+
+        Kept separate from device placement so callers can batch ALL of a
+        family's tensors into one jax.device_put (on remote TPU relays
+        every individual put pays a fixed round trip; one batched put of
+        the whole family measured ~10x faster than per-array puts).
+        """
         space, genes, trans = self.space, self.genes, self.trans
         with np.errstate(divide="ignore"):
             gene_prob_log = np.log([
@@ -49,17 +56,22 @@ class CompiledFamily:
             jpadding_log = np.log(trans.jpadding)
 
         out = {
-            "vgerm_static_log": jnp.asarray(vgerm_static_log, dtype),
-            "vgerm_vd": jnp.asarray(trans.vgerm_vd, dtype),
-            "vd": jnp.asarray(trans.vd, dtype),
-            "vd_dgerm": jnp.asarray(trans.vd_dgerm, dtype),
-            "jpadding_log": jnp.asarray(jpadding_log, dtype),
+            "vgerm_static_log": np.asarray(vgerm_static_log, dtype),
+            "vgerm_vd": np.asarray(trans.vgerm_vd, dtype),
+            "vd": np.asarray(trans.vd, dtype),
+            "vd_dgerm": np.asarray(trans.vd_dgerm, dtype),
+            "jpadding_log": np.asarray(jpadding_log, dtype),
         }
         if self.space.is_heavy:
-            out["dgerm_dj"] = jnp.asarray(trans.dgerm_dj, dtype)
-            out["dj"] = jnp.asarray(trans.dj, dtype)
-            out["dj_jgerm"] = jnp.asarray(trans.dj_jgerm, dtype)
+            out["dgerm_dj"] = np.asarray(trans.dgerm_dj, dtype)
+            out["dj"] = np.asarray(trans.dj, dtype)
+            out["dj_jgerm"] = np.asarray(trans.dj_jgerm, dtype)
         return out
+
+    def device_transitions(self, dtype=jnp.float64) -> Dict[str, jnp.ndarray]:
+        """The transition pytree consumed by ops.forward.forward."""
+        return jax.device_put(
+            self.host_transitions(np.dtype(jnp.dtype(dtype).name)))
 
 
 def compile_family(space: StateSpace,

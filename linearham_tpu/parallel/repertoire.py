@@ -112,12 +112,12 @@ def _stack_bucket(tasks: List[FamilyTask], num_rates: int, dtype):
     def gather(fn):
         return [fn(h) for h in hmms]
 
-    trans_list = [
-        {k: np.asarray(v) for k, v in h._trans.items()} for h in hmms]
-    consts_list = [
-        jax.tree.map(np.asarray, h._consts) for h in hmms]
-    xmsa_list = gather(lambda h: np.asarray(h._xmsa_rows))
-    naive_list = gather(lambda h: np.asarray(h._naive_bases))
+    # Use the families' HOST copies: pulling h._trans/_consts back from a
+    # remote device would pay a round trip per array per family.
+    trans_list = [dict(h._trans_np) for h in hmms]
+    consts_list = [h._consts_np for h in hmms]
+    xmsa_list = gather(lambda h: h._xmsa_rows_np)
+    naive_list = gather(lambda h: h._naive_bases_np)
 
     def maxdim(arrs, axis):
         return max(a.shape[axis] for a in arrs)
