@@ -222,6 +222,12 @@ def site_log_likelihoods_pallas(
     T, n_tips = tip_perm.shape
     n_rows, X = row_codes.shape
     E = edge_child.shape[1]
+    if rates.shape[1] == 1:
+        # R=1 trips a Mosaic limitation ([1,1,1]->[1,4,4] broadcasts in
+        # sublanes and lanes at once); duplicating the category is an
+        # exact identity — the final mix averages over categories, and
+        # averaging two copies of the same rate changes nothing.
+        rates = jnp.concatenate([rates, rates], axis=1)
     R = rates.shape[1]
     f32 = jnp.float32
     TB = trees_per_block

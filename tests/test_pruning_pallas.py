@@ -338,3 +338,51 @@ def test_kernel_tree_chunks_are_equal_shape(monkeypatch):
     assert len(set(calls)) == 1, f"chunk shapes differ: {calls}"
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="needs a real TPU (LINEARHAM_TEST_TPU=1)")
+def test_kernel_compiled_on_tpu_single_rate():
+    """COMPILED R=1: Mosaic rejects the [1,1,1]->[1,4,4] broadcast the
+    kernel's pmat needs at a single rate category (interpret mode never
+    sees this); the kernel duplicates the category — an exact identity
+    under the final mean-over-categories mix — and must match the XLA
+    path on device."""
+    fam = make_family(n_seqs=6, seed=21)
+    hmm = PhyloHMM.from_parts(
+        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
+        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
+    )
+    samples = make_tree_samples(fam, 8, seed=21)
+    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 1)
+
+    def to_dev(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating):
+            return jnp.asarray(a, jnp.float32)
+        return jnp.asarray(a)
+
+    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
+    eig = jax.tree.map(to_dev, eig)
+    pi, rates = to_dev(samples.pi), to_dev(rates)
+    assert rates.shape[1] == 1
+
+    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
+                 eparent, elen, root):
+        return site_log_likelihoods(
+            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
+            echild, eparent, elen, root, n_slots)
+
+    want = jax.jit(jax.vmap(per_tree))(
+        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
+        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
+        tree["edge_length"], tree["root_slot"])
+    got = site_log_likelihoods_pallas(   # compiled: no interpret flag
+        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
+        tree["tip_parent"], tree["tip_length"],
+        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
+        tree["root_slot"], n_slots=n_slots)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
