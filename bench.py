@@ -252,15 +252,21 @@ def repertoire_mode() -> int:
 
     import __graft_entry__ as graft
 
+    import numpy as np
+
     per_family = []
     n_slots = None
     for f in range(n_fams):
         # Family seed stays 0 so shapes match across the stack (bucketed
         # execution requires it); the posterior ensembles vary per family.
         _, args, n_slots = graft._build_family_inputs(
-            jnp.float32, n_trees=n_trees, seed=0, tree_seed=f)
+            jnp.float32, n_trees=n_trees, seed=0, tree_seed=f,
+            as_numpy=True)
         per_family.append(args)
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_family)
+    # Stack on host, land with ONE batched put: F families x ~16 arrays
+    # of separate puts each pay a fixed tunnel round trip.
+    stacked = jax.device_put(
+        jax.tree.map(lambda *xs: np.stack(xs), *per_family))
     trans, consts, rows, naive, tree, eig, pi, rates, keys = stacked
 
     step = jax.jit(functools.partial(
@@ -337,13 +343,17 @@ def scaling_mode() -> int:
     from linearham_tpu.parallel.mesh import (make_mesh, shard_family_batch,
                                              sharded_pipeline)
 
+    import numpy as np
+
     per_family = []
     n_slots = None
     for f in range(F):
         _, args, n_slots = graft._build_family_inputs(
-            jnp.float32, n_trees=n_trees, seed=0, tree_seed=f)
+            jnp.float32, n_trees=n_trees, seed=0, tree_seed=f,
+            as_numpy=True)
         per_family.append(args)
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_family)
+    # host stacks; shard_family_batch does the (sharded) placement
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *per_family)
 
     sizes = [n for n in (1, 2, 4, 8) if n <= n_max]
     table = {}
