@@ -219,15 +219,18 @@ def decode_paths_batch(
 
     # Framework insertions: leading/trailing N runs, but only when the
     # interior is N-free (decode_path's ^(N*)[ACGT]+(N*)$ regex).
-    non_n = codes != ord("N")
-    any_non = non_n.any(axis=1)
-    first = np.argmax(non_n, axis=1)
-    last = n_sites - 1 - np.argmax(non_n[:, ::-1], axis=1)
-    clean = any_non & (non_n.sum(axis=1) == last - first + 1)
-    v_fwk = ["N" * int(f) if c else ""
-             for c, f in zip(clean.tolist(), first.tolist())]
-    j_fwk = ["N" * int(n_sites - 1 - l) if c else ""
-             for c, l in zip(clean.tolist(), last.tolist())]
+    if n_sites:
+        non_n = codes != ord("N")
+        any_non = non_n.any(axis=1)
+        first = np.argmax(non_n, axis=1)
+        last = n_sites - 1 - np.argmax(non_n[:, ::-1], axis=1)
+        clean = any_non & (non_n.sum(axis=1) == last - first + 1)
+        v_fwk = ["N" * int(f) if c else ""
+                 for c, f in zip(clean.tolist(), first.tolist())]
+        j_fwk = ["N" * int(n_sites - 1 - l) if c else ""
+                 for c, l in zip(clean.tolist(), last.tolist())]
+    else:  # zero-site degenerate input: the regex never matches
+        v_fwk = j_fwk = [""] * T
 
     v_strs = np.asarray(space.vgerm.state_strs, dtype=object)
     j_strs = np.asarray(space.jgerm.state_strs, dtype=object)

@@ -406,15 +406,18 @@ class PhyloHMM:
         self._run(sample_key=None)
 
     def _device_tree(self, tb: TreeBatch) -> dict:
-        return {
-            "tip_perm": jnp.asarray(tb.tip_perm),
-            "tip_parent": jnp.asarray(tb.tip_parent),
-            "tip_length": jnp.asarray(tb.tip_length, self._dtype),
-            "edge_child": jnp.asarray(tb.edge_child),
-            "edge_parent": jnp.asarray(tb.edge_parent),
-            "edge_length": jnp.asarray(tb.edge_length, self._dtype),
-            "root_slot": jnp.asarray(tb.root_slot),
-        }
+        f = np.dtype(jnp.dtype(self._dtype).name)
+        # One batched put: per-array puts each pay a fixed round trip on
+        # remote TPU relays.
+        return jax.device_put({
+            "tip_perm": np.asarray(tb.tip_perm),
+            "tip_parent": np.asarray(tb.tip_parent),
+            "tip_length": np.asarray(tb.tip_length, f),
+            "edge_child": np.asarray(tb.edge_child),
+            "edge_parent": np.asarray(tb.edge_parent),
+            "edge_length": np.asarray(tb.edge_length, f),
+            "root_slot": np.asarray(tb.root_slot),
+        })
 
     def _ensemble_inputs(self):
         """Replicated GTR/rate inputs for the current single-tree batch."""

@@ -89,10 +89,8 @@ def _stack_bucket(tasks: List[FamilyTask], num_rates: int, dtype):
     T_max = max(p[2].shape[0] for p in preps)
 
     def pad_trees(a: np.ndarray, t_own: int) -> np.ndarray:
-        if t_own == T_max:
-            return a
-        idx = np.minimum(np.arange(T_max), t_own - 1)
-        return a[idx]
+        del t_own  # the repeat source is always the last real element
+        return _pad_repeat(a, 0, T_max)
 
     preps = [
         (

@@ -13,6 +13,7 @@ Output columns match the reference contract exactly
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 from typing import List, Optional, TextIO
@@ -100,6 +101,7 @@ def run_pipeline_arrays(
     chunk_size: int = 256,
     trace_dir: Optional[str] = None,
     on_chunk=None,
+    rates: Optional[np.ndarray] = None,
 ) -> PipelineResult:
     """Run the full ensemble through the fused device step.
 
@@ -122,7 +124,10 @@ def run_pipeline_arrays(
     dtype = hmm._dtype
 
     with timer.stage("host_prepare"):
-        rates_all = gamma_category_rates_batch(samples.alpha, num_rates)
+        # ``rates`` lets run_pipeline share ONE rates array with its
+        # streamed TSV writer instead of deriving it twice.
+        rates_all = rates if rates is not None else \
+            gamma_category_rates_batch(samples.alpha, num_rates)
     er_all = np.asarray(samples.er)
     pi_all = np.asarray(samples.pi)
 
@@ -186,15 +191,7 @@ def run_pipeline_arrays(
             tb, n_slots = harmonize(parse_chunk(idx))
             eig_np = gtr_eigen(er_all[idx], pi_all[idx])
         with timer.stage("device_transfer"):
-            tree_c = {
-                "tip_perm": jnp.asarray(tb.tip_perm),
-                "tip_parent": jnp.asarray(tb.tip_parent),
-                "tip_length": jnp.asarray(tb.tip_length, dtype),
-                "edge_child": jnp.asarray(tb.edge_child),
-                "edge_parent": jnp.asarray(tb.edge_parent),
-                "edge_length": jnp.asarray(tb.edge_length, dtype),
-                "root_slot": jnp.asarray(tb.root_slot),
-            }
+            tree_c = hmm._device_tree(tb)
             eig_c = jax.tree.map(
                 lambda a: jnp.asarray(np.asarray(a), dtype), eig_np)
             pi_c = jnp.asarray(pi_all[idx], dtype)
@@ -269,14 +266,18 @@ def write_tsv_header(num_rates: int, heavy: bool, outfile: TextIO) -> None:
 
 def write_tsv_rows(samples: TreeSamples, rates, lh_loglik, logweight,
                    annotations, start: int, n: int, heavy: bool,
-                   outfile: TextIO) -> None:
+                   outfile: TextIO, relative: bool = False) -> None:
     """Write rows [start, start+n) of the pipeline TSV.
 
-    ``lh_loglik``/``logweight``/``annotations`` are indexed from
-    ``start`` 0-relative when their length is ``n`` (streamed chunks) or
-    absolutely when full-length.
+    With ``relative=True``, ``lh_loglik``/``logweight``/``annotations``
+    are chunk-local (index 0 == row ``start``: the streamed-writer
+    contract); otherwise they are full-length and indexed absolutely.
     """
-    rel = len(annotations) == n
+    rel = relative
+    if rel and len(annotations) != n:
+        raise ValueError(
+            f"relative chunk arrays must have length {n}, "
+            f"got {len(annotations)}")
     s = samples
     for t in range(start, start + n):
         i = t - start if rel else t
@@ -343,26 +344,38 @@ def run_pipeline(
     load_s = _time.perf_counter() - t0
 
     # Stream output rows as each chunk drains: the TSV write overlaps the
-    # remaining device work instead of serializing after it.
+    # remaining device work instead of serializing after it.  Rows go to
+    # a temp file that is renamed into place only on success — a mid-run
+    # crash must not leave a truncated TSV that the workflow's freshness
+    # check would treat as a completed artifact.
     from linearham_tpu.ops.gtr import gamma_category_rates_batch
 
     rates = gamma_category_rates_batch(samples.alpha, num_rates)
     heavy = hmm.space.is_heavy
     write_s = [0.0]
-    with open(output_path, "w") as fh:
-        write_tsv_header(num_rates, heavy, fh)
+    tmp_path = output_path + ".partial"
+    try:
+        with open(tmp_path, "w") as fh:
+            write_tsv_header(num_rates, heavy, fh)
 
-        def on_chunk(start, n, loglik, anns):
-            t0 = _time.perf_counter()
-            lw = loglik - samples.rb_loglik[start:start + n]
-            write_tsv_rows(samples, rates, loglik, lw, anns, start, n,
-                           heavy, fh)
-            write_s[0] += _time.perf_counter() - t0
+            def on_chunk(start, n, loglik, anns):
+                t0 = _time.perf_counter()
+                lw = loglik - samples.rb_loglik[start:start + n]
+                write_tsv_rows(samples, rates, loglik, lw, anns, start, n,
+                               heavy, fh, relative=True)
+                write_s[0] += _time.perf_counter() - t0
 
-        result = run_pipeline_arrays(hmm, samples, num_rates, seed=seed,
-                                     chunk_size=chunk_size,
-                                     trace_dir=trace_dir,
-                                     on_chunk=on_chunk)
+            result = run_pipeline_arrays(hmm, samples, num_rates,
+                                         seed=seed,
+                                         chunk_size=chunk_size,
+                                         trace_dir=trace_dir,
+                                         on_chunk=on_chunk,
+                                         rates=rates)
+        os.replace(tmp_path, output_path)
+    except BaseException:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+        raise
     if result.timings is not None:
         result.timings["build_hmm"] = build_s
         result.timings["load_trees_tsv"] = load_s

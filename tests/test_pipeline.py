@@ -133,3 +133,27 @@ def test_streamed_tsv_matches_batch_write(fixtures_dir, tmp_path):
     buf = io.StringIO()
     write_output_tsv(result, heavy=True, outfile=buf)
     assert out.read_text() == buf.getvalue()
+
+
+def test_crash_leaves_no_partial_output(fixtures_dir, tmp_path, monkeypatch):
+    """A mid-run failure must not leave a truncated output TSV for the
+    workflow's freshness check to mistake for a completed artifact."""
+    import linearham_tpu.pipeline.run as run_mod
+    from linearham_tpu.pipeline.run import run_pipeline
+
+    tsv = tmp_path / "in.tsv"
+    _make_tsv(tsv, n_rows=6, seed=12)
+    out = tmp_path / "out.tsv"
+
+    def boom(*a, **k):
+        raise RuntimeError("device died")
+
+    monkeypatch.setattr(run_mod, "run_pipeline_arrays", boom)
+    with pytest.raises(RuntimeError, match="device died"):
+        run_pipeline(
+            str(fixtures_dir / "phylo_hmm_input.yaml"), 0,
+            str(fixtures_dir / "hmm_params"), str(tsv), str(out),
+            num_rates=4, seed=0, precision="f64",
+        )
+    assert not out.exists()
+    assert not (tmp_path / "out.tsv.partial").exists()
