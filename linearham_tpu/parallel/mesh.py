@@ -57,6 +57,26 @@ def multi_family_step(trans, consts, xmsa_rows, naive_bases, tree, eig, pi,
         trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates, keys)
 
 
+def multi_family_step_packed(trans, consts, xmsa_rows, naive_bases, tree,
+                             eig, pi, rates, keys, heavy: bool,
+                             n_slots: int):
+    """multi_family_step with results packed into ONE int32 [F, T, C]
+    array (loglik bit-cast into the leading column(s)) — a single host
+    read per bucket instead of six; see models.phylo_hmm.phylo_step_packed
+    for the layout and unpack_path for the inverse."""
+    from linearham_tpu.models.phylo_hmm import phylo_step_packed
+
+    def one_family(trans_f, consts_f, rows_f, naive_f, tree_f, eig_f, pi_f,
+                   rates_f, key_f):
+        return phylo_step_packed(
+            trans_f, consts_f, rows_f, naive_f, tree_f, eig_f, pi_f,
+            rates_f, key_f, heavy=heavy, n_slots=n_slots,
+        )
+
+    return jax.vmap(one_family)(
+        trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates, keys)
+
+
 def shard_family_batch(mesh: Mesh, trans, consts, xmsa_rows, naive_bases,
                        tree, eig, pi, rates, keys):
     """device_put the stacked inputs with (fam, trees) shardings.

@@ -28,15 +28,18 @@ import numpy as np
 from linearham_tpu.io.trees_tsv import TreeSamples
 from linearham_tpu.models.decode import Annotation
 from linearham_tpu.models.phylo_hmm import PhyloHMM
-from linearham_tpu.parallel.mesh import multi_family_step, shard_family_batch
+from linearham_tpu.models.phylo_hmm import unpack_path
+from linearham_tpu.parallel.mesh import (multi_family_step_packed,
+                                         shard_family_batch)
 from linearham_tpu.pipeline.run import prepare_ensemble
 
 NEG = -1e30  # finite stand-in for -inf in padded log tensors
 
 # Module-level jit so repeated run_repertoire calls at the same bucket
 # shapes reuse the compiled trace (a per-call jax.jit would retrace).
+# The packed variant drains each bucket in ONE host read.
 _multi_family_step_jit = jax.jit(
-    multi_family_step, static_argnames=("heavy", "n_slots"))
+    multi_family_step_packed, static_argnames=("heavy", "n_slots"))
 
 
 @dataclass
@@ -283,18 +286,19 @@ def run_repertoire(
         else:
             args = (*args, keys)
 
-        loglik, path = _multi_family_step_jit(
-            *args, heavy=heavy, n_slots=n_slots)
-        loglik = np.asarray(loglik)
-        path = jax.tree.map(np.asarray, path)
+        packed = np.asarray(_multi_family_step_jit(
+            *args, heavy=heavy, n_slots=n_slots))     # ONE host read
 
+        f64 = dtype == jnp.float64
         for f, i in enumerate(idxs):
             task = tasks[i]
             T = task.samples.n_samples
-            fam_path = jax.tree.map(lambda a: a[f, :T], path)
+            loglik, fam_path = unpack_path(
+                packed[f, :T], task.hmm.space.is_heavy,
+                task.hmm.space.vd_junction.n_rows, f64=f64)
             results[i] = FamilyResult(
-                loglik=loglik[f, :T],
-                logweight=loglik[f, :T] - task.samples.rb_loglik,
+                loglik=loglik,
+                logweight=loglik - task.samples.rb_loglik,
                 annotations=task.hmm._decode_batch(fam_path),
             )
     return results
