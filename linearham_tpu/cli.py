@@ -102,7 +102,7 @@ def main(argv=None) -> int:
         argv[0] = argv[0][2:]
     args = build_parser().parse_args(argv)
 
-    from linearham_tpu.models.phylo_hmm import PhyloHMM
+    from linearham_tpu.compiler.family_cache import cached_phylo_hmm
     from linearham_tpu.utils.runtime import enable_persistent_cache, \
         resolve_dtype
 
@@ -111,15 +111,17 @@ def main(argv=None) -> int:
 
     if args.subcommand == "compute-logl":
         _validate_gtr(args)
-        hmm = PhyloHMM(args.yaml_path, args.cluster_ind, args.hmm_param_dir,
-                       seed=args.seed, dtype=dtype)
+        hmm = cached_phylo_hmm(
+            args.yaml_path, args.cluster_ind, args.hmm_param_dir,
+            seed=args.seed, dtype=dtype)
         hmm.init_phylo_parameters(args.newick_path, args.er, args.pi,
                                   args.alpha, args.num_rates)
         print(f"{hmm.log_likelihood():.6g}")
     elif args.subcommand == "sample":
         _validate_gtr(args)
-        hmm = PhyloHMM(args.yaml_path, args.cluster_ind, args.hmm_param_dir,
-                       seed=args.seed, dtype=dtype)
+        hmm = cached_phylo_hmm(
+            args.yaml_path, args.cluster_ind, args.hmm_param_dir,
+            seed=args.seed, dtype=dtype)
         hmm.init_phylo_parameters(args.newick_path, args.er, args.pi,
                                   args.alpha, args.num_rates)
         for ann in hmm.sample_annotations(args.N):

@@ -354,27 +354,50 @@ class PhyloHMM:
             from linearham_tpu.utils.runtime import resolve_dtype
 
             dtype = resolve_dtype(None)
-        self.cluster = cluster
-        self.genes = genes
-        self.space = build_state_space(
+        self._install(
+            self._host_products(cluster, genes, msa, dtype), seed, dtype)
+
+    @staticmethod
+    def _host_products(cluster: ClusterData, genes, msa: np.ndarray,
+                       dtype) -> dict:
+        """All family-constant host tensors: the (picklable) unit the
+        family disk cache stores (compiler/family_cache.py)."""
+        space = build_state_space(
             cluster.locus, cluster.flexbounds, cluster.relpos, genes,
         )
-        self.family: CompiledFamily = compile_family(self.space, self.genes)
-        self.msa = msa
-        self.xmsa: Xmsa = build_xmsa(
-            self.space, self.msa, cluster.unique_ids)
+        family = compile_family(space, genes)
+        xmsa = build_xmsa(space, msa, cluster.unique_ids)
+        return {
+            "cluster": cluster,
+            "genes": genes,
+            "space": space,
+            "family": family,
+            "msa": msa,
+            "xmsa": xmsa,
+            "trans_np": family.host_transitions(
+                np.dtype(jnp.dtype(dtype).name)),
+            "consts_np": _gather_consts(space, xmsa, dtype),
+            "xmsa_rows_np": np.asarray(xmsa.matrix, np.int32),
+            "naive_bases_np": np.asarray(xmsa.naive_bases, np.int32),
+        }
+
+    def _install(self, host: dict, seed: int, dtype) -> None:
+        self.cluster = host["cluster"]
+        self.genes = host["genes"]
+        self.space = host["space"]
+        self.family: CompiledFamily = host["family"]
+        self.msa = host["msa"]
+        self.xmsa: Xmsa = host["xmsa"]
         self._dtype = dtype
         self._key = jax.random.PRNGKey(seed)
 
-        # Build every family-constant tensor on host, then place them all
-        # with ONE batched device_put: on remote TPU relays each separate
-        # put pays a fixed round trip (19 per-array puts measured ~6 s vs
-        # 0.6 s batched for the same 3 MB).
-        self._trans_np = self.family.host_transitions(
-            np.dtype(jnp.dtype(dtype).name))
-        self._consts_np = _gather_consts(self.space, self.xmsa, dtype)
-        self._xmsa_rows_np = np.asarray(self.xmsa.matrix, np.int32)
-        self._naive_bases_np = np.asarray(self.xmsa.naive_bases, np.int32)
+        # Place every family-constant tensor with ONE batched device_put:
+        # on remote TPU relays each separate put pays a fixed round trip
+        # (19 per-array puts measured ~6 s vs 0.6 s batched for 3 MB).
+        self._trans_np = host["trans_np"]
+        self._consts_np = host["consts_np"]
+        self._xmsa_rows_np = host["xmsa_rows_np"]
+        self._naive_bases_np = host["naive_bases_np"]
         (self._trans, self._consts, self._xmsa_rows,
          self._naive_bases) = jax.device_put(
             (self._trans_np, self._consts_np, self._xmsa_rows_np,

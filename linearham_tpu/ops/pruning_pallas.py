@@ -222,6 +222,68 @@ def _kernel(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("n_tips", "n_edges", "n_slots", "trees_per_block",
+                     "site_block", "unroll", "interpret"))
+def _pruning_chunk(
+    topo_c, lengths_c, codes, u_c, uinv_c, lam_c, rates_c, pi_c, *,
+    n_tips: int, n_edges: int, n_slots: int, trees_per_block: int,
+    site_block: int, unroll: bool, interpret: bool,
+):
+    """One SMEM-sized tree chunk through the pruning kernel.
+
+    Module-level jit so the kernel function is TRACED ONCE per shape:
+    tracing the kernel costs ~0.7 s at production depth, and the chunked
+    ensemble step calls it up to ~20 times — as a bare function that was
+    ~13 s of pure tracing inside every enclosing jit trace (measured
+    round 4); as an inner jit the later calls hit the trace cache.
+    """
+    TB, Xb = trees_per_block, site_block
+    Tcc = u_c.shape[0]
+    n_rows, _, Xp = codes.shape
+    R = rates_c.shape[1]
+    n_xblocks = Xp // Xb
+
+    kernel = functools.partial(
+        _kernel, trees_per_block=TB, n_tips=n_tips, n_edges=n_edges,
+        n_slots=n_slots, n_rates=R, unroll=unroll,
+    )
+
+    def block(shape, site_axis=None, tree_axis=0):
+        def index_map(i, j, *_):
+            idx = [0] * len(shape)
+            if tree_axis is not None:
+                idx[tree_axis] = i
+            if site_axis is not None:
+                idx[site_axis] = j
+            return tuple(idx)
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Tcc // TB, n_xblocks),
+            in_specs=[
+                block((n_rows, 1, Xb), site_axis=2, tree_axis=None),
+                block((TB, 4, 4)),
+                block((TB, 4, 4)),
+                block((TB, 4)),
+                block((TB, R)),
+                block((TB, 4)),
+            ],
+            out_specs=block((TB, Xb), site_axis=1),
+            scratch_shapes=[
+                pltpu.VMEM((n_slots, R, 4, Xb), jnp.float32),
+                pltpu.VMEM((R, Xb), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Tcc, Xp), jnp.float32),
+        interpret=interpret,
+    )(topo_c, lengths_c, codes, u_c, uinv_c, lam_c, rates_c, pi_c)
+
+
+@functools.partial(
     jax.jit, static_argnames=("n_slots", "trees_per_block", "interpret"))
 def site_log_likelihoods_pallas(
     eig,                      # GTREigen pytree, u/u_inv [T,4,4], lam [T,4]
@@ -304,49 +366,17 @@ def site_log_likelihoods_pallas(
         Tp, axis=1,
     )                                              # [2*n_tips + 2E + 1, Tp]
 
-    kernel = functools.partial(
-        _kernel, trees_per_block=TB, n_tips=n_tips, n_edges=E,
-        n_slots=n_slots, n_rates=R,
-        # Unrolled post-order loops schedule ~25% faster but the code
-        # size scales with tree depth; cap the unroll at small trees.
-        unroll=(n_tips + E) <= 64,
-    )
-
-    def block(shape, site_axis=None, tree_axis=0):
-        def index_map(i, j, *_):
-            idx = [0] * len(shape)
-            if tree_axis is not None:
-                idx[tree_axis] = i
-            if site_axis is not None:
-                idx[site_axis] = j
-            return tuple(idx)
-        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
-
     def run_chunk(args):
         topo_c, lengths_c, u_c, uinv_c, lam_c, rates_c, pi_c = args
-        Tcc = u_c.shape[0]
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(Tcc // TB, n_xblocks),
-                in_specs=[
-                    block((n_rows, 1, Xb), site_axis=2, tree_axis=None),
-                    block((TB, 4, 4)),
-                    block((TB, 4, 4)),
-                    block((TB, 4)),
-                    block((TB, R)),
-                    block((TB, 4)),
-                ],
-                out_specs=block((TB, Xb), site_axis=1),
-                scratch_shapes=[
-                    pltpu.VMEM((n_slots, R, 4, Xb), f32),
-                    pltpu.VMEM((R, Xb), f32),
-                ],
-            ),
-            out_shape=jax.ShapeDtypeStruct((Tcc, Xp), f32),
+        return _pruning_chunk(
+            topo_c, lengths_c, codes, u_c, uinv_c, lam_c, rates_c, pi_c,
+            n_tips=n_tips, n_edges=E, n_slots=n_slots, trees_per_block=TB,
+            site_block=Xb,
+            # Unrolled post-order loops schedule ~25% faster but the code
+            # size scales with tree depth; cap the unroll at small trees.
+            unroll=(n_tips + E) <= 64,
             interpret=interpret,
-        )(topo_c, lengths_c, codes, u_c, uinv_c, lam_c, rates_c, pi_c)
+        )
 
     if Tp <= Tc:
         out = run_chunk((topo, lengths, u, uinv, lam, rates_p, pi_p))

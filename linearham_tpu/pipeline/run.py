@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from linearham_tpu.io.newick import batch_trees, parse_newick
+from linearham_tpu.io.newick import TreeBatch, batch_trees, parse_newick
 from linearham_tpu.io.trees_tsv import TreeSamples, load_tree_samples
 from linearham_tpu.models.decode import Annotation
 from linearham_tpu.models.phylo_hmm import (PhyloHMM, phylo_step_packed_jit,
@@ -116,6 +116,7 @@ def run_pipeline_arrays(
     than the sum of all stages.
     """
     from linearham_tpu.io.native import parse_newicks_batch
+    from linearham_tpu.utils.exec_cache import cached_call
     from linearham_tpu.utils.profiling import StageTimer, maybe_trace
 
     timer = StageTimer()
@@ -128,67 +129,47 @@ def run_pipeline_arrays(
         # streamed TSV writer instead of deriving it twice.
         rates_all = rates if rates is not None else \
             gamma_category_rates_batch(samples.alpha, num_rates)
-    er_all = np.asarray(samples.er)
-    pi_all = np.asarray(samples.pi)
+        er_all = np.asarray(samples.er)
+        pi_all = np.asarray(samples.pi)
+        # Parse the WHOLE ensemble up front (one native batch call, ~40 us
+        # per tree): every chunk then shares one (n_slots, e_max) shape,
+        # so there is exactly ONE compiled step for the whole run.  The
+        # per-chunk harmonize this replaces pinned shapes from chunk 0 and
+        # silently paid a ~25 s Mosaic retrace if a later tree was deeper.
+        tb_all = parse_newicks_batch(samples.newicks, hmm.xmsa.labels)
+        if tb_all is None:
+            tb_all = batch_trees(
+                [parse_newick(nw) for nw in samples.newicks],
+                hmm.xmsa.labels)
+    n_slots = tb_all.n_slots
 
-    # All chunks must share one compiled step shape; the first chunk pins
-    # (n_slots, E) and later chunks pad up to it (sink-slot no-op edges,
-    # exactly the padding contract the kernel already honors).  A deeper
-    # later chunk simply retraces at its larger shape.
-    shapes: dict = {}
+    step_statics = dict(heavy=hmm.space.is_heavy, n_slots=n_slots)
 
-    def parse_chunk(idx):
-        newicks = [samples.newicks[i] for i in idx]
-        tb = parse_newicks_batch(newicks, hmm.xmsa.labels)
-        if tb is None:
-            tb = batch_trees([parse_newick(nw) for nw in newicks],
-                             hmm.xmsa.labels)
-        return tb
+    def step(*args):
+        return cached_call(phylo_step_packed_jit, "phylo_step_packed",
+                           step_statics, *args)
 
-    def harmonize(tb):
-        if not shapes:
-            shapes["n_slots"] = tb.n_slots
-            shapes["e_max"] = tb.edge_child.shape[1]
-        n_slots = max(shapes["n_slots"], tb.n_slots)
-        e_max = max(shapes["e_max"], tb.edge_child.shape[1])
-        shapes["n_slots"], shapes["e_max"] = n_slots, e_max
-        if tb.n_slots == n_slots and tb.edge_child.shape[1] == e_max:
-            return tb, n_slots
-        sink_old, sink = tb.n_slots - 1, n_slots - 1
-        n, e_own = tb.edge_child.shape
-
-        def grow(a, fill):
-            out = np.full((n, e_max), fill, dtype=a.dtype)
-            out[:, :e_own] = a
-            return out
-
-        ec = grow(tb.edge_child, sink)
-        ep = grow(tb.edge_parent, sink)
-        el = grow(tb.edge_length, 0.0)
-        tp = tb.tip_parent.copy()
-        if sink_old != sink:
-            ec[ec == sink_old] = sink
-            ep[ep == sink_old] = sink
-            tp[tp == sink_old] = sink
-        tb = type(tb)(
-            tip_perm=tb.tip_perm, tip_parent=tp, tip_length=tb.tip_length,
-            edge_child=ec, edge_parent=ep, edge_length=el,
-            root_slot=tb.root_slot, n_slots=n_slots,
-        )
-        return tb, n_slots
-
-    step = phylo_step_packed_jit
     key = jax.random.PRNGKey(seed)
 
     logliks = np.zeros(T)
     paths = []
 
     def stage_chunk(start):
-        """Parse + eigendecompose + enqueue chunk ``start``'s transfers
-        (the device_puts are async)."""
+        """Slice + eigendecompose + enqueue chunk ``start``'s transfers
+        (the device_puts are async).  The final chunk repeats row T-1 to
+        fill the fixed chunk shape; repeated rows are never drained."""
         idx = np.minimum(np.arange(start, start + chunk_size), T - 1)
         with timer.stage("host_prepare"):
-            tb, n_slots = harmonize(parse_chunk(idx))
+            tb = TreeBatch(
+                tip_perm=tb_all.tip_perm[idx],
+                tip_parent=tb_all.tip_parent[idx],
+                tip_length=tb_all.tip_length[idx],
+                edge_child=tb_all.edge_child[idx],
+                edge_parent=tb_all.edge_parent[idx],
+                edge_length=tb_all.edge_length[idx],
+                root_slot=tb_all.root_slot[idx],
+                n_slots=n_slots,
+            )
             eig_np = gtr_eigen(er_all[idx], pi_all[idx])
         with timer.stage("device_transfer"):
             tree_c = hmm._device_tree(tb)
@@ -217,7 +198,6 @@ def run_pipeline_arrays(
                 path_c = step(
                     hmm._trans, hmm._consts, hmm._xmsa_rows,
                     hmm._naive_bases, tree_c, eig_c, pi_c, rates_c, subkey,
-                    heavy=hmm.space.is_heavy, n_slots=n_slots,
                 )
                 if first_chunk:
                     # The first dispatch pays compile (unless the
@@ -334,10 +314,12 @@ def run_pipeline(
 
     import time as _time
 
+    from linearham_tpu.compiler.family_cache import cached_phylo_hmm
+
     enable_persistent_cache()
     t0 = _time.perf_counter()
-    hmm = PhyloHMM(yaml_path, cluster_ind, hmm_param_dir, seed=seed,
-                   dtype=resolve_dtype(precision))
+    hmm = cached_phylo_hmm(yaml_path, cluster_ind, hmm_param_dir,
+                           seed=seed, dtype=resolve_dtype(precision))
     build_s = _time.perf_counter() - t0
     t0 = _time.perf_counter()
     samples = load_tree_samples(input_path)

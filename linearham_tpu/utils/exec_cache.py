@@ -1,0 +1,178 @@
+"""On-disk cache of serialized XLA executables for warm process starts.
+
+JAX's persistent compilation cache removes the XLA *compile* from a warm
+start, but a fresh process still pays Python tracing + StableHLO lowering
+before the cache can even be consulted (~2 s at production pipeline
+shapes, ~11 s before the round-4 kernel-trace dedup).  The reference is
+an ahead-of-time C++ binary with zero startup compilation
+(src/linearham.cpp:268), so the honest end-to-end unit eats the whole
+cost.  This cache closes the gap: after a jit function compiles, its
+executable is serialized (jax.experimental.serialize_executable) to disk
+keyed by the call signature; a later process deserializes and calls it
+directly — no trace, no lower, no compile (measured ~0.13 s to load a
+39 MB production-shape executable).
+
+Safety: the key includes the package source hash, jax/jaxlib versions,
+device kind+platform, every leaf aval, the arg treedef, and the static
+kwargs; any mismatch falls back to the ordinary jit path, and a corrupt
+entry is deleted and recompiled.  Set LINEARHAM_EXEC_CACHE=off to
+disable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import tempfile
+import threading
+from typing import Callable, Dict, Optional
+
+_MEM: Dict[str, Callable] = {}
+_POISONED = object()   # entry loaded but unrunnable in this process
+_LOCK = threading.Lock()
+_SRC_HASH: Optional[str] = None
+
+DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "linearham_tpu", "exec_cache")
+
+
+def _cache_dir() -> Optional[str]:
+    d = os.environ.get("LINEARHAM_EXEC_CACHE",
+                       os.environ.get("LINEARHAM_CACHE_DIR_EXEC",
+                                      DEFAULT_DIR))
+    return None if d == "off" else d
+
+
+def source_hash() -> str:
+    """Hash of every .py file in the package: a code change must never
+    resurrect an executable compiled from old code."""
+    global _SRC_HASH
+    if _SRC_HASH is not None:
+        return _SRC_HASH
+    import linearham_tpu
+
+    root = os.path.dirname(os.path.abspath(linearham_tpu.__file__))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                h.update(os.path.relpath(p, root).encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+    _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
+def _signature(name: str, statics: dict, args) -> str:
+    import jax
+
+    leaves, treedef = jax.tree.flatten(args)
+    d = jax.devices()[0]
+    parts = [
+        name,
+        source_hash(),
+        jax.__version__,
+        getattr(d, "platform", ""),
+        getattr(d, "device_kind", ""),
+        repr(sorted(statics.items())),
+        str(treedef),
+        ";".join(f"{jax.numpy.shape(l)}:{jax.numpy.result_type(l)}"
+                 for l in leaves),
+    ]
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
+
+
+def _entry_path(key: str) -> Optional[str]:
+    d = _cache_dir()
+    return None if d is None else os.path.join(d, key + ".pkl")
+
+
+def _store(path: str, compiled) -> None:
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    blob = se.serialize(compiled)
+    # Record how many devices the program was compiled for: the loader
+    # must hand deserialize_and_load exactly that many execution devices
+    # (its default — every client device — breaks single-device programs
+    # on multi-device clients, e.g. the forced-8-device CPU test mesh).
+    try:
+        n_devices = len(
+            compiled._executable.xla_executable.local_devices())
+    except Exception:
+        n_devices = 1
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            pickle.dump({"blob": blob, "n_devices": n_devices}, fh)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _load(path: str):
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    with open(path, "rb") as fh:
+        entry = pickle.load(fh)
+    devs = jax.devices()[:entry["n_devices"]]
+    return se.deserialize_and_load(*entry["blob"], execution_devices=devs)
+
+
+def cached_call(jitfn, name: str, statics: dict, *args):
+    """Call ``jitfn(*args, **statics)`` through the executable cache.
+
+    Cache hit: deserialize once per process, then dispatch directly.
+    Miss: ordinary jit call (persistent compile cache still applies),
+    then the compiled executable is serialized to disk in a background
+    thread (lower/compile after a call are in-memory cache hits, so the
+    only added cost is pickling, off the critical path).
+    """
+    path = _entry_path(_signature(name, statics, args))
+    if path is None:
+        return jitfn(*args, **statics)
+    with _LOCK:
+        fn = _MEM.get(path)
+    if fn is None and os.path.exists(path):
+        try:
+            fn = _load(path)
+        except Exception:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+            fn = None
+        if fn is not None:
+            with _LOCK:
+                _MEM[path] = fn
+    if fn is not None and fn is not _POISONED:
+        try:
+            return fn(*args)
+        except Exception:
+            # A loaded executable that will not run here (device-count or
+            # machine mismatch) is poisoned for this process; the jit
+            # path below still produces the result.
+            with _LOCK:
+                _MEM[path] = _POISONED
+
+    out = jitfn(*args, **statics)
+
+    def persist():
+        try:
+            compiled = jitfn.lower(*args, **statics).compile()
+            _store(path, compiled)
+            with _LOCK:
+                _MEM[path] = compiled
+        except Exception:
+            pass  # cache population is best-effort
+
+    if fn is _POISONED or not os.path.exists(path):
+        threading.Thread(target=persist, daemon=True).start()
+    return out

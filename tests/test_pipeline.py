@@ -157,3 +157,72 @@ def test_crash_leaves_no_partial_output(fixtures_dir, tmp_path, monkeypatch):
         )
     assert not out.exists()
     assert not (tmp_path / "out.tsv.partial").exists()
+
+
+def test_mid_stream_deeper_tree_single_shape(fixtures_dir, tmp_path):
+    """A later tree with MORE edges than chunk 0's trees must still be
+    computed correctly — and without a second compiled step shape.
+
+    Chunk 0 sees only multifurcating trees (4 edges); tree 3 is fully
+    binary (6 edges).  The whole-ensemble pre-parse pins one
+    (n_slots, e_max) before the first dispatch, so there is exactly one
+    step signature for the run (VERDICT r03 item 5: the per-chunk shape
+    growth used to retrace silently mid-stream)."""
+    import numpy as np
+
+    from linearham_tpu.utils import exec_cache
+
+    rng = np.random.default_rng(3)
+    cols = (["Iteration", "Likelihood", "Prior", "alpha"]
+            + [f"er[{i}]" for i in range(1, 7)]
+            + [f"pi[{i}]" for i in range(1, 5)] + ["tree"])
+    flat = "(0:{a},1:{b},naive:{c},2:{d});"              # 4 edges
+    deep = "((0:{a},1:{b}):{c},(naive:{d},2:{e}):{f});"  # 6 edges
+    lines = ["\t".join(cols)]
+    topo = [flat, flat, flat, deep, flat]
+    for t, shape in enumerate(topo):
+        bl = rng.uniform(0.05, 0.8, size=6)
+        tree = shape.format(a=bl[0], b=bl[1], c=bl[2], d=bl[3], e=bl[4],
+                            f=bl[5])
+        er = rng.uniform(0.5, 2.0, size=6)
+        pi = rng.dirichlet([5, 5, 5, 5])
+        row = ([str(t), f"{-90 - t:.4f}", "-8.0", "1.2"]
+               + [f"{x:.6f}" for x in er] + [f"{x:.6f}" for x in pi]
+               + [tree])
+        lines.append("\t".join(row))
+    p = tmp_path / "mixed.trees"
+    p.write_text("\n".join(lines) + "\n")
+
+    hmm = PhyloHMM(str(fixtures_dir / "phylo_hmm_input.yaml"), 0,
+                   str(fixtures_dir / "hmm_params"), seed=0)
+    samples = load_tree_samples(str(p))
+
+    signatures = []
+    orig = exec_cache._signature
+
+    def spy(name, statics, args):
+        sig = orig(name, statics, args)
+        if name == "phylo_step_packed":
+            signatures.append(sig)
+        return sig
+
+    exec_cache._signature = spy
+    try:
+        result = run_pipeline_arrays(hmm, samples, num_rates=4, seed=0,
+                                     chunk_size=2)
+    finally:
+        exec_cache._signature = orig
+
+    # One signature across all 3 chunks: no mid-stream shape growth.
+    assert len(set(signatures)) == 1 and len(signatures) == 3
+
+    for t in range(samples.n_samples):
+        single = PhyloHMM(str(fixtures_dir / "phylo_hmm_input.yaml"), 0,
+                          str(fixtures_dir / "hmm_params"), seed=0)
+        nw_file = tmp_path / f"mixed_t{t}.nwk"
+        nw_file.write_text(samples.newicks[t] + "\n")
+        single.init_phylo_parameters(
+            str(nw_file), list(samples.er[t]), list(samples.pi[t]),
+            float(samples.alpha[t]), 4)
+        assert result.lh_loglik[t] == pytest.approx(
+            single.log_likelihood(), rel=1e-9), f"tree {t}"

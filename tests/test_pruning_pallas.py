@@ -321,13 +321,16 @@ def test_kernel_tree_chunks_are_equal_shape(monkeypatch):
     # Force Tc down to the trees_per_block floor (8) so Tp=24 -> 3 chunks.
     monkeypatch.setattr(pp, "_SMEM_BYTES", 1)
     calls = []
-    orig = pp.pl.pallas_call
+    orig = pp._pruning_chunk
 
-    def spy(kernel, **kw):
-        calls.append(kw["out_shape"].shape)
-        return orig(kernel, **kw)
+    def spy(topo_c, lengths_c, codes, u_c, *args, **kw):
+        # Record each chunk's (tree, site) output shape; the pallas_call
+        # itself now sits behind a module-level jit (traced once per
+        # shape), so the chunk boundary is the observable.
+        calls.append((u_c.shape[0], codes.shape[2]))
+        return orig(topo_c, lengths_c, codes, u_c, *args, **kw)
 
-    monkeypatch.setattr(pp.pl, "pallas_call", spy)
+    monkeypatch.setattr(pp, "_pruning_chunk", spy)
     got = pp.site_log_likelihoods_pallas.__wrapped__(   # skip jit cache
         eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
         tree["tip_parent"], tree["tip_length"],
