@@ -232,8 +232,18 @@ def run_repertoire(
     seed: int = 0,
     mesh=None,
     dtype=jnp.float64,
+    timings: Optional[dict] = None,
 ) -> List[FamilyResult]:
-    """Run many families; buckets execute as stacked vmapped steps."""
+    """Run many families; buckets execute as stacked vmapped steps.
+
+    ``timings`` (optional dict) accumulates per-stage seconds with the
+    pipeline-mode stage names: stack_families (host pad/stack),
+    device_step (dispatch + the single packed host read per bucket),
+    decode (host path decode per family).
+    """
+    from linearham_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
     buckets: Dict[Tuple, List[int]] = {}
     for i, t in enumerate(tasks):
         buckets.setdefault(_bucket_key(t.hmm), []).append(i)
@@ -243,8 +253,9 @@ def run_repertoire(
     for bkey, idxs in buckets.items():
         heavy = bkey[0]
         group = [tasks[i] for i in idxs]
-        (trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates,
-         n_slots) = _stack_bucket(group, num_rates, dtype)
+        with timer.stage("stack_families"):
+            (trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates,
+             n_slots) = _stack_bucket(group, num_rates, dtype)
         n_keys = len(group)
 
         if mesh is not None:
@@ -286,19 +297,51 @@ def run_repertoire(
         else:
             args = (*args, keys)
 
-        packed = np.asarray(_multi_family_step_jit(
-            *args, heavy=heavy, n_slots=n_slots))     # ONE host read
+        with timer.stage("device_step"):
+            packed = np.asarray(_multi_family_step_jit(
+                *args, heavy=heavy, n_slots=n_slots))  # ONE host read
 
         f64 = dtype == jnp.float64
-        for f, i in enumerate(idxs):
-            task = tasks[i]
-            T = task.samples.n_samples
-            loglik, fam_path = unpack_path(
-                packed[f, :T], task.hmm.space.is_heavy,
-                task.hmm.space.vd_junction.n_rows, f64=f64)
-            results[i] = FamilyResult(
-                loglik=loglik,
-                logweight=loglik - task.samples.rb_loglik,
-                annotations=task.hmm._decode_batch(fam_path),
-            )
+        with timer.stage("decode"):
+            for f, i in enumerate(idxs):
+                task = tasks[i]
+                T = task.samples.n_samples
+                loglik, fam_path = unpack_path(
+                    packed[f, :T], task.hmm.space.is_heavy,
+                    task.hmm.space.vd_junction.n_rows, f64=f64)
+                results[i] = FamilyResult(
+                    loglik=loglik,
+                    logweight=loglik - task.samples.rb_loglik,
+                    annotations=task.hmm._decode_batch(fam_path),
+                )
+    if timings is not None:
+        for k, v in timer.as_dict().items():
+            timings[k] = timings.get(k, 0.0) + v
     return results
+
+
+def write_family_output(task: FamilyTask, result: FamilyResult,
+                        num_rates: int, out_path: str) -> None:
+    """Write one family's reference-format pipeline TSV.
+
+    Same column contract as the single-family pipeline
+    (src/PhyloHMM.cpp:244-327); atomic .partial -> rename."""
+    import os
+
+    from linearham_tpu.ops.gtr import gamma_category_rates_batch
+    from linearham_tpu.pipeline.run import write_tsv_header, write_tsv_rows
+
+    rates = gamma_category_rates_batch(task.samples.alpha, num_rates)
+    heavy = task.hmm.space.is_heavy
+    tmp = out_path + ".partial"
+    try:
+        with open(tmp, "w") as fh:
+            write_tsv_header(num_rates, heavy, fh)
+            write_tsv_rows(task.samples, rates, result.loglik,
+                           result.logweight, result.annotations, 0,
+                           task.samples.n_samples, heavy, fh)
+        os.replace(tmp, out_path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise

@@ -38,10 +38,29 @@ DEFAULT_DIR = os.path.join(
 
 
 def _cache_dir() -> Optional[str]:
+    """Resolve the cache directory, or None when the cache is disabled.
+
+    Policy: the cache engages by default only on TPU — the production
+    configuration it was built for, where a deserialized executable is
+    measured correct and ~0.13 s to load.  XLA:CPU AOT deserialization is
+    NOT reliable (observed: a CPU executable stored by an 8-device client
+    failed at *async execution* time in a 1-device process — too late for
+    the synchronous fallback to catch).  Set LINEARHAM_EXEC_CACHE=force
+    (or =force:<dir>) to engage anywhere (tests), =off to disable, or to
+    a directory to relocate on TPU.
+    """
     d = os.environ.get("LINEARHAM_EXEC_CACHE",
                        os.environ.get("LINEARHAM_CACHE_DIR_EXEC",
                                       DEFAULT_DIR))
-    return None if d == "off" else d
+    if d == "off":
+        return None
+    if d == "force":
+        return DEFAULT_DIR
+    if d.startswith("force:"):
+        return d[len("force:"):]
+    from linearham_tpu.utils.runtime import on_tpu
+
+    return d if on_tpu() else None
 
 
 def source_hash() -> str:
@@ -77,6 +96,8 @@ def _signature(name: str, statics: dict, args) -> str:
         jax.__version__,
         getattr(d, "platform", ""),
         getattr(d, "device_kind", ""),
+        getattr(d.client, "platform_version", ""),
+        str(len(jax.devices())),
         repr(sorted(statics.items())),
         str(treedef),
         ";".join(f"{jax.numpy.shape(l)}:{jax.numpy.result_type(l)}"

@@ -122,7 +122,8 @@ class _CountingJit:
 def test_exec_cache_hit_skips_jit(tmp_path, monkeypatch):
     from linearham_tpu.utils import exec_cache
 
-    monkeypatch.setenv("LINEARHAM_EXEC_CACHE", str(tmp_path / "exec"))
+    monkeypatch.setenv("LINEARHAM_EXEC_CACHE",
+                       "force:" + str(tmp_path / "exec"))
 
     @jax.jit
     def f(x, y):
@@ -150,7 +151,8 @@ def test_exec_cache_hit_skips_jit(tmp_path, monkeypatch):
 def test_exec_cache_key_separates_shapes_and_statics(tmp_path, monkeypatch):
     from linearham_tpu.utils import exec_cache
 
-    monkeypatch.setenv("LINEARHAM_EXEC_CACHE", str(tmp_path / "exec"))
+    monkeypatch.setenv("LINEARHAM_EXEC_CACHE",
+                       "force:" + str(tmp_path / "exec"))
 
     def g(x, n):
         return x + n
@@ -172,7 +174,7 @@ def test_exec_cache_corrupt_entry_recovers(tmp_path, monkeypatch):
     from linearham_tpu.utils import exec_cache
 
     d = tmp_path / "exec"
-    monkeypatch.setenv("LINEARHAM_EXEC_CACHE", str(d))
+    monkeypatch.setenv("LINEARHAM_EXEC_CACHE", "force:" + str(d))
 
     @jax.jit
     def f(x):

@@ -161,3 +161,35 @@ def test_multihost_helpers():
     slices = [multihost.process_slice(items, p, 3) for p in range(3)]
     assert slices == [[0, 1, 2, 3], [4, 5, 6], [7, 8, 9]]
     assert multihost.process_slice(items) == items  # single process
+
+
+def test_repertoire_e2e_tsv_and_timings(tasks, tmp_path):
+    """The full per-family unit (VERDICT r03 item 4): stack -> device step
+    -> decode -> per-family TSV write, with the stage breakdown filled and
+    every family's TSV matching the single-family pipeline contract."""
+    from linearham_tpu.parallel.repertoire import write_family_output
+    from linearham_tpu.pipeline.run import write_output_tsv
+
+    timings = {}
+    results = run_repertoire(tasks, num_rates=4, seed=0, timings=timings)
+    assert {"stack_families", "device_step", "decode"} <= set(timings)
+    assert all(v >= 0 for v in timings.values())
+
+    for f, (task, res) in enumerate(zip(tasks, results)):
+        out = tmp_path / f"lh_fam{f}.trees"
+        write_family_output(task, res, 4, str(out))
+        lines = out.read_text().rstrip("\n").split("\n")
+        assert len(lines) == task.samples.n_samples + 1
+        header = lines[0].split("\t")
+        assert header[:4] == ["Iteration", "RBLogLikelihood", "Prior",
+                              "alpha"]
+        assert "LHLogLikelihood" in header and "NaiveSequence" in header
+        ll_col = header.index("LHLogLikelihood")
+        for t, line in enumerate(lines[1:]):
+            fields = line.split("\t")
+            assert len(fields) == len(header)
+            assert float(fields[ll_col]) == pytest.approx(
+                res.loglik[t], rel=1e-6)
+        # Light chain uses the VJInsertion column variant.
+        if not task.hmm.space.is_heavy:
+            assert "VJInsertion" in header and "DGene" not in header
