@@ -154,6 +154,13 @@ def phylo_emissions(
     Returns (emission dict for the forward pass, corrected site log-liks
     [T, X]).
     """
+    # Topology indices may arrive as int16 (wire-width optimization in
+    # _device_tree); widen once here so both pruning backends see int32.
+    tree = {
+        k: (v.astype(jnp.int32)
+            if jnp.issubdtype(v.dtype, jnp.integer) else v)
+        for k, v in tree.items()
+    }
 
     if _use_pallas_pruning(eig.u.dtype):
         from linearham_tpu.ops.pruning_pallas import (
@@ -431,15 +438,19 @@ class PhyloHMM:
     def _device_tree(self, tb: TreeBatch) -> dict:
         f = np.dtype(jnp.dtype(self._dtype).name)
         # One batched put: per-array puts each pay a fixed round trip on
-        # remote TPU relays.
+        # remote TPU relays.  Topology indices ride the wire as int16
+        # when they fit (slot counts are < 32k for any real family —
+        # a 312-seq tree has ~700 slots), halving the dominant transfer
+        # bytes of each chunk; phylo_emissions widens them on device.
+        i = np.int16 if tb.n_slots < 2**15 - 1 else np.int32
         return jax.device_put({
-            "tip_perm": np.asarray(tb.tip_perm),
-            "tip_parent": np.asarray(tb.tip_parent),
+            "tip_perm": np.asarray(tb.tip_perm, i),
+            "tip_parent": np.asarray(tb.tip_parent, i),
             "tip_length": np.asarray(tb.tip_length, f),
-            "edge_child": np.asarray(tb.edge_child),
-            "edge_parent": np.asarray(tb.edge_parent),
+            "edge_child": np.asarray(tb.edge_child, i),
+            "edge_parent": np.asarray(tb.edge_parent, i),
             "edge_length": np.asarray(tb.edge_length, f),
-            "root_slot": np.asarray(tb.root_slot),
+            "root_slot": np.asarray(tb.root_slot, i),
         })
 
     def _ensemble_inputs(self):

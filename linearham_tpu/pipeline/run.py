@@ -314,16 +314,24 @@ def run_pipeline(
 
     import time as _time
 
+    import threading
+
     from linearham_tpu.compiler.family_cache import cached_phylo_hmm
 
     enable_persistent_cache()
+    # Dial the backend on a side thread: on remote-relay TPUs the first
+    # device contact costs ~1-1.5 s of pure connection setup, which can
+    # overlap the host-side TSV load and family-cache read instead of
+    # serializing inside build_hmm.
+    dial = threading.Thread(target=jax.devices, daemon=True)
+    dial.start()
+    t0 = _time.perf_counter()
+    samples = load_tree_samples(input_path)
+    load_s = _time.perf_counter() - t0
     t0 = _time.perf_counter()
     hmm = cached_phylo_hmm(yaml_path, cluster_ind, hmm_param_dir,
                            seed=seed, dtype=resolve_dtype(precision))
     build_s = _time.perf_counter() - t0
-    t0 = _time.perf_counter()
-    samples = load_tree_samples(input_path)
-    load_s = _time.perf_counter() - t0
 
     # Stream output rows as each chunk drains: the TSV write overlaps the
     # remaining device work instead of serializing after it.  Rows go to
