@@ -54,11 +54,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Cap on the per-tree partials scratch buffer; Xb shrinks to fit.  Wide
-# blocks amortize the serial post-order loop over more lanes (one pass over
-# the topology instead of one per site block); v5e VMEM is 128MB, so 48MB of
-# scratch still leaves room for the double-buffered tip-code blocks.
-_SCRATCH_BYTES = 48 * 1024 * 1024
+# Per-kernel VMEM budget for the partials scratch + shared codes block;
+# Xb shrinks to fit.  Wide blocks amortize the serial post-order loop over
+# more lanes (one pass over the topology instead of one per site block).
+# v5e VMEM is 128MB, but XLA enforces a ~16MB SCOPED vmem stack limit per
+# kernel (measured on hardware: a 17.17MB allocation at 312-seq depth was
+# rejected with "limit 16.00M"); budget 15MB so the largest production
+# shapes compile while leaving slack for the in/out blocks.
+_SCRATCH_BYTES = 15 * 1024 * 1024
 # Budget for the scalar-prefetched SMEM tables; the tree chunk shrinks
 # to fit (hardware SMEM is ~1MB).
 _SMEM_BYTES = 512 * 1024

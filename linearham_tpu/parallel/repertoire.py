@@ -298,8 +298,12 @@ def run_repertoire(
             args = (*args, keys)
 
         with timer.stage("device_step"):
-            packed = np.asarray(_multi_family_step_jit(
-                *args, heavy=heavy, n_slots=n_slots))  # ONE host read
+            from linearham_tpu.utils.exec_cache import cached_call
+
+            packed = np.asarray(cached_call(
+                _multi_family_step_jit, "multi_family_step",
+                dict(heavy=heavy, n_slots=n_slots),
+                *args))                                # ONE host read
 
         f64 = dtype == jnp.float64
         with timer.stage("decode"):

@@ -100,8 +100,12 @@ def _signature(name: str, statics: dict, args) -> str:
         str(len(jax.devices())),
         repr(sorted(statics.items())),
         str(treedef),
-        ";".join(f"{jax.numpy.shape(l)}:{jax.numpy.result_type(l)}"
-                 for l in leaves),
+        ";".join(
+            f"{jax.numpy.shape(l)}:{jax.numpy.result_type(l)}:"
+            # Differently-sharded inputs compile different executables
+            # (host numpy leaves have no sharding and hash as '').
+            f"{getattr(l, 'sharding', '')}"
+            for l in leaves),
     ]
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
 
