@@ -76,24 +76,28 @@ def _gather_consts(space, xmsa: Xmsa, dtype):
     """
     consts = {}
     X = xmsa.n_cols
-    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    del dtype  # maps store as narrow ints; region_emissions widens
 
     def linear(name, region, inds):
         # m[x, g] = how many of gene g's sites map to xMSA column x; the
-        # per-gene log-emission sum is then site_ll @ m.
+        # per-gene log-emission sum is then site_ll @ m.  Stored int16
+        # (counts are bounded by gene length << 2^15): the maps are the
+        # bulk of the per-family device bytes, and a repertoire bucket
+        # ships one copy per family — narrow storage quarters that wire
+        # cost; the matmul operand is cast on device.
         seg = segment_matrix(inds, region.ggene_ranges,
                              len(region.ggene_ranges))
         m = np.zeros((X, seg.shape[1]))
         np.add.at(m, np.asarray(inds, np.intp), seg)
-        consts[name] = {"m": m.astype(np_dtype)}
+        consts[name] = {"m": m.astype(np.int16)}
 
     def junction(name, inds):
         rows, S = inds.shape
-        g = np.zeros((X, rows * S))
+        g = np.zeros((X, rows * S), np.int8)  # one-hot: int8 exact
         flat = np.asarray(np.maximum(inds, 0), np.intp).ravel()
-        g[flat, np.arange(rows * S)] = 1.0
+        g[flat, np.arange(rows * S)] = 1
         consts[name] = {
-            "g": g.astype(np_dtype),
+            "g": g,
             "mask": np.asarray(inds >= 0),    # [rows, S]; also carries the
         }                                     # (rows, S) shape for reshape
 
@@ -118,13 +122,16 @@ def region_emissions(site_loglik: jnp.ndarray, consts: dict,
     emis = {}
     T = site_loglik.shape[0]
     safe = jnp.maximum(site_loglik, _NEG_CAP)
+    f = site_loglik.dtype
 
     def linear(name):
-        emis[name] = safe @ consts[name]["m"]
+        # Maps ride the wire as narrow ints (see _gather_consts); the
+        # cast to the compute dtype fuses into the matmul.
+        emis[name] = safe @ consts[name]["m"].astype(f)
 
     def junction(name):
         c = consts[name]
-        vals = (safe @ c["g"]).reshape((T,) + c["mask"].shape)
+        vals = (safe @ c["g"].astype(f)).reshape((T,) + c["mask"].shape)
         emis[name] = jnp.where(c["mask"][None], vals, -jnp.inf)
 
     linear("vpadding")
