@@ -100,6 +100,7 @@ def _kernel(
     n_slots: int,
     n_rates: int,
     unroll: bool,
+    renorm_stride: int,
 ):
     prog = pl.program_id(0)
     R = n_rates
@@ -194,11 +195,11 @@ def _kernel(
                 pm[:, :, j:j + 1] * pc[:, j:j + 1, :] for j in range(4))
             upd = partials[pl.ds(pnt, 1)][0] * msg
 
-            @pl.when(e % 4 != 3)
+            @pl.when(e % renorm_stride != renorm_stride - 1)
             def _store_plain():
                 partials[pl.ds(pnt, 1)] = upd[None]
 
-            @pl.when(e % 4 == 3)
+            @pl.when(e % renorm_stride == renorm_stride - 1)
             def _store_renormed():
                 normed, logm = renorm(upd)
                 partials[pl.ds(pnt, 1)] = normed[None]
@@ -227,11 +228,12 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("n_tips", "n_edges", "n_slots", "trees_per_block",
-                     "site_block", "unroll", "interpret"))
+                     "site_block", "unroll", "interpret", "renorm_stride"))
 def _pruning_chunk(
     topo_c, lengths_c, codes, u_c, uinv_c, lam_c, rates_c, pi_c, *,
     n_tips: int, n_edges: int, n_slots: int, trees_per_block: int,
     site_block: int, unroll: bool, interpret: bool,
+    renorm_stride: int = 4,
 ):
     """One SMEM-sized tree chunk through the pruning kernel.
 
@@ -250,6 +252,7 @@ def _pruning_chunk(
     kernel = functools.partial(
         _kernel, trees_per_block=TB, n_tips=n_tips, n_edges=n_edges,
         n_slots=n_slots, n_rates=R, unroll=unroll,
+        renorm_stride=renorm_stride,
     )
 
     def block(shape, site_axis=None, tree_axis=0):
@@ -287,7 +290,9 @@ def _pruning_chunk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_slots", "trees_per_block", "interpret"))
+    jax.jit,
+    static_argnames=("n_slots", "trees_per_block", "interpret",
+                     "renorm_stride"))
 def site_log_likelihoods_pallas(
     eig,                      # GTREigen pytree, u/u_inv [T,4,4], lam [T,4]
     pi: jnp.ndarray,          # [T, 4]
@@ -303,6 +308,7 @@ def site_log_likelihoods_pallas(
     n_slots: int,
     trees_per_block: int = 8,
     interpret: bool = False,
+    renorm_stride: int = 4,
 ) -> jnp.ndarray:
     """Per-site rate-mixed log-likelihoods [T, X] for a padded tree batch."""
     T, n_tips = tip_perm.shape
@@ -374,7 +380,7 @@ def site_log_likelihoods_pallas(
         return _pruning_chunk(
             topo_c, lengths_c, codes, u_c, uinv_c, lam_c, rates_c, pi_c,
             n_tips=n_tips, n_edges=E, n_slots=n_slots, trees_per_block=TB,
-            site_block=Xb,
+            site_block=Xb, renorm_stride=renorm_stride,
             # Unrolled post-order loops schedule ~25% faster but the code
             # size scales with tree depth; cap the unroll at small trees.
             unroll=(n_tips + E) <= 64,
