@@ -283,8 +283,11 @@ def repertoire_mode() -> int:
         stages = {}
         t_wall = time.perf_counter()
         t0 = time.perf_counter()
+        # place=False: repertoire stacking reads host copies only; the
+        # per-family device placement would ship ~3MB x n_fams for nothing.
         hmms = [cached_phylo_hmm(yaml_path, 0, gene_dir, seed=0,
-                                 dtype=dtype) for _ in range(n_fams)]
+                                 dtype=dtype, place=False)
+                for _ in range(n_fams)]
         stages["build_hmm"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         tasks = [FamilyTask(hmm=h, samples=load_tree_samples(p))

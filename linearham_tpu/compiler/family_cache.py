@@ -55,24 +55,40 @@ def family_key(yaml_path: str, cluster_ind: int, hmm_param_dir: str,
 
 def cached_phylo_hmm(yaml_path: str, cluster_ind: int, hmm_param_dir: str,
                      seed: int = 0, dtype=None,
-                     cache_dir: Optional[str] = None):
+                     cache_dir: Optional[str] = None,
+                     place: bool = True):
     """PhyloHMM constructor through the family disk cache.
 
     Hit: unpickle host products, device_put, done.  Miss: normal build,
     then persist the host products (atomic rename; concurrent builders
     race benignly).  Any cache failure falls back to a fresh build.
+
+    ``place=False`` defers the device placement (call ``hmm.place()``
+    before any device computation); repertoire tasks never need it.
     """
     import jax.numpy as jnp
 
     from linearham_tpu.models.phylo_hmm import PhyloHMM
     from linearham_tpu.utils.runtime import resolve_dtype
 
+    from linearham_tpu.io.germline import load_gene_map
+    from linearham_tpu.io.partis import load_cluster
+
     if dtype is None:
         dtype = resolve_dtype(None)
+
+    def fresh_build():
+        cluster = load_cluster(yaml_path, cluster_ind)
+        genes = load_gene_map(hmm_param_dir)
+        msa = cluster.msa_codes(next(iter(genes.values())).alphabet + "N")
+        host = PhyloHMM._host_products(cluster, genes, msa, dtype)
+        hmm = PhyloHMM.__new__(PhyloHMM)
+        hmm._install(host, seed, dtype, place=place)
+        return hmm, host
+
     d = cache_dir or _cache_dir()
     if d is None:
-        return PhyloHMM(yaml_path, cluster_ind, hmm_param_dir, seed=seed,
-                        dtype=dtype)
+        return fresh_build()[0]
     path = os.path.join(
         d, family_key(yaml_path, cluster_ind, hmm_param_dir,
                       jnp.dtype(dtype).name) + ".pkl")
@@ -81,22 +97,14 @@ def cached_phylo_hmm(yaml_path: str, cluster_ind: int, hmm_param_dir: str,
             with open(path, "rb") as fh:
                 host = pickle.load(fh)
             hmm = PhyloHMM.__new__(PhyloHMM)
-            hmm._install(host, seed, dtype)
+            hmm._install(host, seed, dtype, place=place)
             return hmm
         except Exception:
             try:
                 os.unlink(path)
             except OSError:
                 pass
-    hmm = PhyloHMM(yaml_path, cluster_ind, hmm_param_dir, seed=seed,
-                   dtype=dtype)
-    host = {
-        "cluster": hmm.cluster, "genes": hmm.genes, "space": hmm.space,
-        "family": hmm.family, "msa": hmm.msa, "xmsa": hmm.xmsa,
-        "trans_np": hmm._trans_np, "consts_np": hmm._consts_np,
-        "xmsa_rows_np": hmm._xmsa_rows_np,
-        "naive_bases_np": hmm._naive_bases_np,
-    }
+    hmm, host = fresh_build()
     try:
         os.makedirs(d, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=d)

@@ -269,18 +269,21 @@ def phylo_step_packed(
     loglik, _, path = phylo_step(
         trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates, key,
         heavy=heavy, n_slots=n_slots)
-    # Leading column(s) carry the log-likelihood bit-cast into int32 (one
-    # column for f32, two for f64 — full precision kept) so the whole
-    # chunk result is ONE host read.
+    # Leading columns carry the log-likelihood bit-cast into int16 (two
+    # columns for f32, four for f64 — full precision kept) so the whole
+    # chunk result is ONE host read at HALF the int32 wire width.  Path
+    # indices are state indices within a region (far below 2^15 for any
+    # real family: regions are O(genes x junction-window), not sites).
+    T = loglik.shape[0]
     ll_bits = jax.lax.bitcast_convert_type(
-        loglik[:, None], jnp.int32).reshape(loglik.shape[0], -1)
+        loglik[:, None], jnp.int16).reshape(T, -1)
     head = [ll_bits, path.vgerm_idx[:, None]]
     if heavy:
         head.append(path.dgerm_idx[:, None])
     head.append(path.jgerm_idx[:, None])
     tail = [path.vd_idx] + ([path.dj_idx] if heavy else [])
     return jnp.concatenate(
-        [jnp.asarray(c, jnp.int32) for c in head + tail], axis=1)
+        [jnp.asarray(c, jnp.int16) for c in head + tail], axis=1)
 
 
 def unpack_path(packed: np.ndarray, heavy: bool, r1: int,
@@ -290,7 +293,7 @@ def unpack_path(packed: np.ndarray, heavy: bool, r1: int,
     Returns (loglik [T] in the step's float width, SampledPath of int
     index arrays).
     """
-    k = 2 if f64 else 1
+    k = 4 if f64 else 2
     ftype = np.float64 if f64 else np.float32
     loglik = np.ascontiguousarray(packed[:, :k]).view(ftype).ravel()
     loglik = loglik.astype(np.float64)
@@ -395,7 +398,8 @@ class PhyloHMM:
             "naive_bases_np": np.asarray(xmsa.naive_bases, np.int32),
         }
 
-    def _install(self, host: dict, seed: int, dtype) -> None:
+    def _install(self, host: dict, seed: int, dtype,
+                 place: bool = True) -> None:
         self.cluster = host["cluster"]
         self.genes = host["genes"]
         self.space = host["space"]
@@ -405,23 +409,38 @@ class PhyloHMM:
         self._dtype = dtype
         self._key = jax.random.PRNGKey(seed)
 
-        # Place every family-constant tensor with ONE batched device_put:
-        # on remote TPU relays each separate put pays a fixed round trip
-        # (19 per-array puts measured ~6 s vs 0.6 s batched for 3 MB).
         self._trans_np = host["trans_np"]
         self._consts_np = host["consts_np"]
         self._xmsa_rows_np = host["xmsa_rows_np"]
         self._naive_bases_np = host["naive_bases_np"]
-        (self._trans, self._consts, self._xmsa_rows,
-         self._naive_bases) = jax.device_put(
-            (self._trans_np, self._consts_np, self._xmsa_rows_np,
-             self._naive_bases_np))
+        self._placed = False
+        if place:
+            self.place()
 
         self.params: Optional[PhyloParams] = None
         self._tree_batch: Optional[TreeBatch] = None
         self._loglik = None
         self._cache = None
         self._xmsa_emission = None
+
+    def place(self) -> "PhyloHMM":
+        """Put the family-constant tensors on device (idempotent).
+
+        ONE batched device_put: on remote TPU relays each separate put
+        pays a fixed round trip (19 per-array puts measured ~6 s vs
+        0.6 s batched for 3 MB).  Deferred placement (``place=False`` at
+        construction) lets (a) the pipeline finish ALL host-side work
+        before first device contact, fully hiding the relay's connection
+        dial behind it, and (b) repertoire tasks skip placement entirely
+        — bucket stacking reads the host copies only.
+        """
+        if not self._placed:
+            (self._trans, self._consts, self._xmsa_rows,
+             self._naive_bases) = jax.device_put(
+                (self._trans_np, self._consts_np, self._xmsa_rows_np,
+                 self._naive_bases_np))
+            self._placed = True
+        return self
 
     # -- single-tree API (mirrors the reference CLI subcommands) ----------
 
@@ -462,6 +481,7 @@ class PhyloHMM:
 
     def _ensemble_inputs(self):
         """Replicated GTR/rate inputs for the current single-tree batch."""
+        self.place()
         p = self.params
         tb = self._tree_batch
         T = tb.n_trees

@@ -60,7 +60,7 @@ def multi_family_step(trans, consts, xmsa_rows, naive_bases, tree, eig, pi,
 def multi_family_step_packed(trans, consts, xmsa_rows, naive_bases, tree,
                              eig, pi, rates, keys, heavy: bool,
                              n_slots: int):
-    """multi_family_step with results packed into ONE int32 [F, T, C]
+    """multi_family_step with results packed into ONE int16 [F, T, C]
     array (loglik bit-cast into the leading column(s)) — a single host
     read per bucket instead of six; see models.phylo_hmm.phylo_step_packed
     for the layout and unpack_path for the inverse."""

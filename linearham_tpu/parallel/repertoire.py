@@ -241,8 +241,13 @@ def run_repertoire(
     device_step (dispatch + the single packed host read per bucket),
     decode (host path decode per family).
     """
+    import threading
+
     from linearham_tpu.utils.profiling import StageTimer
 
+    # Overlap the remote backend dial with host-side bucket stacking
+    # (same rationale as run_pipeline).
+    threading.Thread(target=jax.devices, daemon=True).start()
     timer = StageTimer()
     buckets: Dict[Tuple, List[int]] = {}
     for i, t in enumerate(tasks):

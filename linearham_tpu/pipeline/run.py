@@ -172,7 +172,8 @@ def run_pipeline_arrays(
             )
             eig_np = gtr_eigen(er_all[idx], pi_all[idx])
         with timer.stage("device_transfer"):
-            tree_c = hmm._device_tree(tb)
+            hmm.place()   # no-op once placed; deferred so ALL host work
+            tree_c = hmm._device_tree(tb)   # precedes first device contact
             eig_c = jax.tree.map(
                 lambda a: jnp.asarray(np.asarray(a), dtype), eig_np)
             pi_c = jnp.asarray(pi_all[idx], dtype)
@@ -330,7 +331,8 @@ def run_pipeline(
     load_s = _time.perf_counter() - t0
     t0 = _time.perf_counter()
     hmm = cached_phylo_hmm(yaml_path, cluster_ind, hmm_param_dir,
-                           seed=seed, dtype=resolve_dtype(precision))
+                           seed=seed, dtype=resolve_dtype(precision),
+                           place=False)
     build_s = _time.perf_counter() - t0
 
     # Stream output rows as each chunk drains: the TSV write overlaps the
