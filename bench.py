@@ -314,7 +314,8 @@ def repertoire_mode() -> int:
         "value": round(tps, 1),
         "unit": "trees/s",
         "vs_baseline": round(tps / BASELINE_TREES_PER_SEC, 3),
-        "compile_s": stages.get("device_step", 0.0),
+        # no compile_s: the single stacked dispatch cannot split compile
+        # from execution; device_step in stages carries the total.
         "stages": stages,
         "decode_frac": round(stages.get("decode", 0.0) / wall, 3),
         "n_fams": n_fams,

@@ -21,8 +21,9 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
-import tempfile
 from typing import Optional
+
+from linearham_tpu.utils.fileio import atomic_write
 
 _FORMAT_VERSION = 1
 
@@ -93,29 +94,26 @@ def cached_phylo_hmm(yaml_path: str, cluster_ind: int, hmm_param_dir: str,
         d, family_key(yaml_path, cluster_ind, hmm_param_dir,
                       jnp.dtype(dtype).name) + ".pkl")
     if os.path.exists(path):
+        host = None
         try:
             with open(path, "rb") as fh:
                 host = pickle.load(fh)
-            hmm = PhyloHMM.__new__(PhyloHMM)
-            hmm._install(host, seed, dtype, place=place)
-            return hmm
         except Exception:
+            # Only an unreadable pickle means a corrupt entry; failures
+            # past this point (e.g. a flaky device_put during _install)
+            # must NOT delete a valid cache file.
             try:
                 os.unlink(path)
             except OSError:
                 pass
+        if host is not None:
+            hmm = PhyloHMM.__new__(PhyloHMM)
+            hmm._install(host, seed, dtype, place=place)
+            return hmm
     hmm, host = fresh_build()
     try:
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d)
-        try:
-            with os.fdopen(fd, "wb") as fh:
-                pickle.dump(host, fh)
-            os.replace(tmp, path)
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        with atomic_write(path, "wb") as fh:
+            pickle.dump(host, fh)
     except Exception:
         pass  # cache population is best-effort
     return hmm

@@ -269,31 +269,42 @@ def phylo_step_packed(
     loglik, _, path = phylo_step(
         trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates, key,
         heavy=heavy, n_slots=n_slots)
-    # Leading columns carry the log-likelihood bit-cast into int16 (two
-    # columns for f32, four for f64 — full precision kept) so the whole
-    # chunk result is ONE host read at HALF the int32 wire width.  Path
-    # indices are state indices within a region (far below 2^15 for any
-    # real family: regions are O(genes x junction-window), not sites).
+    # Leading columns carry the log-likelihood bit-cast into the wire
+    # int width (full precision kept) so the whole chunk result is ONE
+    # host read.  Path indices are state indices within a region —
+    # O(genes x junction-window) — so int16 (half the wire bytes)
+    # fits any real family; the trace-time shape guard below falls back
+    # to int32 for pathological state spaces, and unpack_path infers the
+    # layout from the array dtype.
     T = loglik.shape[0]
+    max_states = max(
+        trans["vd"].shape[-1],
+        trans["dj"].shape[-1] if heavy else 0,
+        trans["vgerm_static_log"].shape[-1],
+        trans["jpadding_log"].shape[-1],
+    )
+    wire = jnp.int16 if max_states < 2**15 - 1 else jnp.int32
     ll_bits = jax.lax.bitcast_convert_type(
-        loglik[:, None], jnp.int16).reshape(T, -1)
+        loglik[:, None], wire).reshape(T, -1)
     head = [ll_bits, path.vgerm_idx[:, None]]
     if heavy:
         head.append(path.dgerm_idx[:, None])
     head.append(path.jgerm_idx[:, None])
     tail = [path.vd_idx] + ([path.dj_idx] if heavy else [])
     return jnp.concatenate(
-        [jnp.asarray(c, jnp.int16) for c in head + tail], axis=1)
+        [jnp.asarray(c, wire) for c in head + tail], axis=1)
 
 
 def unpack_path(packed: np.ndarray, heavy: bool, r1: int,
                 f64: bool = False):
     """Host-side inverse of phylo_step_packed's layout.
 
-    Returns (loglik [T] in the step's float width, SampledPath of int
-    index arrays).
+    The wire int width (int16 normally, int32 for huge state spaces) is
+    inferred from ``packed.dtype``.  Returns (loglik [T] in the step's
+    float width, SampledPath of int index arrays).
     """
-    k = 4 if f64 else 2
+    ll_width = 8 if f64 else 4
+    k = ll_width // packed.dtype.itemsize
     ftype = np.float64 if f64 else np.float32
     loglik = np.ascontiguousarray(packed[:, :k]).view(ftype).ravel()
     loglik = loglik.astype(np.float64)

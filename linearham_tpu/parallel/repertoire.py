@@ -254,14 +254,17 @@ def run_repertoire(
         buckets.setdefault(_bucket_key(t.hmm), []).append(i)
 
     results: List[Optional[FamilyResult]] = [None] * len(tasks)
-    key = jax.random.PRNGKey(seed)
-    for bkey, idxs in buckets.items():
+    key = None   # created AFTER the first host-side stack: PRNGKey blocks
+    for bkey, idxs in buckets.items():   # on backend init, which the side
+        # thread above is still dialing while the stack runs.
         heavy = bkey[0]
         group = [tasks[i] for i in idxs]
         with timer.stage("stack_families"):
             (trans, consts, xmsa_rows, naive_bases, tree, eig, pi, rates,
              n_slots) = _stack_bucket(group, num_rates, dtype)
         n_keys = len(group)
+        if key is None:
+            key = jax.random.PRNGKey(seed)
 
         if mesh is not None:
             # NamedSharding needs each sharded axis divisible by its mesh
@@ -335,22 +338,14 @@ def write_family_output(task: FamilyTask, result: FamilyResult,
 
     Same column contract as the single-family pipeline
     (src/PhyloHMM.cpp:244-327); atomic .partial -> rename."""
-    import os
-
     from linearham_tpu.ops.gtr import gamma_category_rates_batch
     from linearham_tpu.pipeline.run import write_tsv_header, write_tsv_rows
+    from linearham_tpu.utils.fileio import atomic_write
 
     rates = gamma_category_rates_batch(task.samples.alpha, num_rates)
     heavy = task.hmm.space.is_heavy
-    tmp = out_path + ".partial"
-    try:
-        with open(tmp, "w") as fh:
-            write_tsv_header(num_rates, heavy, fh)
-            write_tsv_rows(task.samples, rates, result.loglik,
-                           result.logweight, result.annotations, 0,
-                           task.samples.n_samples, heavy, fh)
-        os.replace(tmp, out_path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    with atomic_write(out_path) as fh:
+        write_tsv_header(num_rates, heavy, fh)
+        write_tsv_rows(task.samples, rates, result.loglik,
+                       result.logweight, result.annotations, 0,
+                       task.samples.n_samples, heavy, fh)

@@ -76,9 +76,10 @@ def _drain_chunk(hmm, timer, logliks, paths, start, n_valid, packed_c,
                  on_chunk=None) -> None:
     """Block on one chunk's device outputs and decode its annotations.
 
-    Log-likelihoods and sampled paths arrive as ONE packed int32 array
-    (a single host read per chunk — each read costs a fixed round trip
-    on remote devices; see phylo_step_packed)."""
+    Log-likelihoods and sampled paths arrive as ONE packed int array
+    (int16 wire width normally; a single host read per chunk — each
+    read costs a fixed round trip on remote devices; see
+    phylo_step_packed / unpack_path)."""
     with timer.stage("device_step"):
         packed_np = np.asarray(packed_c)   # blocks until the step is done
     with timer.stage("decode"):
@@ -342,32 +343,27 @@ def run_pipeline(
     # check would treat as a completed artifact.
     from linearham_tpu.ops.gtr import gamma_category_rates_batch
 
+    from linearham_tpu.utils.fileio import atomic_write
+
     rates = gamma_category_rates_batch(samples.alpha, num_rates)
     heavy = hmm.space.is_heavy
     write_s = [0.0]
-    tmp_path = output_path + ".partial"
-    try:
-        with open(tmp_path, "w") as fh:
-            write_tsv_header(num_rates, heavy, fh)
+    with atomic_write(output_path) as fh:
+        write_tsv_header(num_rates, heavy, fh)
 
-            def on_chunk(start, n, loglik, anns):
-                t0 = _time.perf_counter()
-                lw = loglik - samples.rb_loglik[start:start + n]
-                write_tsv_rows(samples, rates, loglik, lw, anns, start, n,
-                               heavy, fh, relative=True)
-                write_s[0] += _time.perf_counter() - t0
+        def on_chunk(start, n, loglik, anns):
+            t0 = _time.perf_counter()
+            lw = loglik - samples.rb_loglik[start:start + n]
+            write_tsv_rows(samples, rates, loglik, lw, anns, start, n,
+                           heavy, fh, relative=True)
+            write_s[0] += _time.perf_counter() - t0
 
-            result = run_pipeline_arrays(hmm, samples, num_rates,
-                                         seed=seed,
-                                         chunk_size=chunk_size,
-                                         trace_dir=trace_dir,
-                                         on_chunk=on_chunk,
-                                         rates=rates)
-        os.replace(tmp_path, output_path)
-    except BaseException:
-        if os.path.exists(tmp_path):
-            os.unlink(tmp_path)
-        raise
+        result = run_pipeline_arrays(hmm, samples, num_rates,
+                                     seed=seed,
+                                     chunk_size=chunk_size,
+                                     trace_dir=trace_dir,
+                                     on_chunk=on_chunk,
+                                     rates=rates)
     if result.timings is not None:
         result.timings["build_hmm"] = build_s
         result.timings["load_trees_tsv"] = load_s

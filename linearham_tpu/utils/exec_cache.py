@@ -24,12 +24,12 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
-import tempfile
 import threading
 from typing import Callable, Dict, Optional
 
 _MEM: Dict[str, Callable] = {}
 _POISONED = object()   # entry loaded but unrunnable in this process
+_INFLIGHT: set = set()  # entries with a persist thread already running
 _LOCK = threading.Lock()
 _SRC_HASH: Optional[str] = None
 
@@ -40,27 +40,27 @@ DEFAULT_DIR = os.path.join(
 def _cache_dir() -> Optional[str]:
     """Resolve the cache directory, or None when the cache is disabled.
 
-    Policy: the cache engages by default only on TPU — the production
+    Policy: by DEFAULT the cache engages only on TPU — the production
     configuration it was built for, where a deserialized executable is
     measured correct and ~0.13 s to load.  XLA:CPU AOT deserialization is
     NOT reliable (observed: a CPU executable stored by an 8-device client
     failed at *async execution* time in a 1-device process — too late for
-    the synchronous fallback to catch).  Set LINEARHAM_EXEC_CACHE=force
-    (or =force:<dir>) to engage anywhere (tests), =off to disable, or to
-    a directory to relocate on TPU.
+    the synchronous fallback to catch).  Explicitly setting
+    LINEARHAM_EXEC_CACHE=<dir> (or =force / =force:<dir>) is an opt-in on
+    ANY backend — a deliberately-set directory must not be silently
+    ignored; =off disables everywhere.
     """
     d = os.environ.get("LINEARHAM_EXEC_CACHE",
-                       os.environ.get("LINEARHAM_CACHE_DIR_EXEC",
-                                      DEFAULT_DIR))
+                       os.environ.get("LINEARHAM_CACHE_DIR_EXEC"))
     if d == "off":
         return None
     if d == "force":
         return DEFAULT_DIR
-    if d.startswith("force:"):
-        return d[len("force:"):]
+    if d is not None:
+        return d[len("force:"):] if d.startswith("force:") else d
     from linearham_tpu.utils.runtime import on_tpu
 
-    return d if on_tpu() else None
+    return DEFAULT_DIR if on_tpu() else None
 
 
 def source_hash() -> str:
@@ -129,16 +129,10 @@ def _store(path: str, compiled) -> None:
             compiled._executable.xla_executable.local_devices())
     except Exception:
         n_devices = 1
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
-    try:
-        with os.fdopen(fd, "wb") as fh:
-            pickle.dump({"blob": blob, "n_devices": n_devices}, fh)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    from linearham_tpu.utils.fileio import atomic_write
+
+    with atomic_write(path, "wb") as fh:
+        pickle.dump({"blob": blob, "n_devices": n_devices}, fh)
 
 
 def _load(path: str):
@@ -177,15 +171,23 @@ def cached_call(jitfn, name: str, statics: dict, *args):
         if fn is not None:
             with _LOCK:
                 _MEM[path] = fn
+    run_failed = False
     if fn is not None and fn is not _POISONED:
         try:
             return fn(*args)
         except Exception:
             # A loaded executable that will not run here (device-count or
-            # machine mismatch) is poisoned for this process; the jit
-            # path below still produces the result.
+            # machine mismatch) is poisoned for this process AND removed
+            # from disk so the next process does not hit it too; the jit
+            # path below still produces the result and re-persists a
+            # working entry.
+            run_failed = True
             with _LOCK:
                 _MEM[path] = _POISONED
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
     out = jitfn(*args, **statics)
 
@@ -197,7 +199,19 @@ def cached_call(jitfn, name: str, statics: dict, *args):
                 _MEM[path] = compiled
         except Exception:
             pass  # cache population is best-effort
+        finally:
+            with _LOCK:
+                _INFLIGHT.discard(path)
 
-    if fn is _POISONED or not os.path.exists(path):
-        threading.Thread(target=persist, daemon=True).start()
+    if run_failed or not os.path.exists(path):
+        # One persist thread per entry: serialize+write of a ~39MB
+        # executable takes seconds, and the pipeline calls the same
+        # signature once per chunk — without the in-flight guard every
+        # pre-completion call would spawn another identical writer.
+        with _LOCK:
+            spawn = path not in _INFLIGHT
+            if spawn:
+                _INFLIGHT.add(path)
+        if spawn:
+            threading.Thread(target=persist, daemon=True).start()
     return out
