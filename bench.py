@@ -618,13 +618,15 @@ def _orchestrate(mode: str) -> int:
         # when it lands in a clean relay window).
         final = dict(max([first] + warm_runs,
                          key=lambda r: r.get("value", 0)))
-        if warm_runs:
-            final["warm_compile_s"] = min(
-                r.get("compile_s") or 1e9 for r in warm_runs)
-        else:
+        warm_compiles = [r["compile_s"] for r in warm_runs
+                         if r.get("compile_s") is not None]
+        if warm_compiles:
+            final["warm_compile_s"] = min(warm_compiles)
+        elif not warm_runs:
             print("# warm re-runs failed; only the first attempt ran",
                   file=sys.stderr)
-        final["cold_compile_s"] = first.get("compile_s")
+        if first.get("compile_s") is not None:
+            final["cold_compile_s"] = first.get("compile_s")
         final["runs"] = [first.get("value")] + [
             r.get("value") for r in warm_runs]
         if i > 0 or eff:

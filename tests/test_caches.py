@@ -206,3 +206,50 @@ def test_exec_cache_off_env(monkeypatch):
     out = exec_cache.cached_call(f, "off_test", {},
                                  jnp.ones((2,), jnp.float32))
     np.testing.assert_allclose(np.asarray(out), 3.0)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="needs a real TPU (LINEARHAM_TEST_TPU=1)")
+def test_exec_cache_hit_bitwise_identical_on_tpu(tmp_path, monkeypatch):
+    """On the production backend, the deserialized-executable path must
+    produce byte-identical packed results to the jit path (the disk
+    round trip replaces trace/lower/compile, not the program)."""
+    from linearham_tpu.models.phylo_hmm import phylo_step_packed_jit
+    from linearham_tpu.pipeline.run import prepare_ensemble
+    from linearham_tpu.utils import exec_cache
+    from linearham_tpu.utils.synth import make_family, make_tree_samples
+
+    monkeypatch.setenv("LINEARHAM_EXEC_CACHE",
+                       "force:" + str(tmp_path / "exec"))
+    fam = make_family(n_seqs=6, seed=3)
+    hmm = PhyloHMM.from_parts(
+        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
+        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
+    ).place()
+    samples = make_tree_samples(fam, 8, seed=3)
+    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 4)
+
+    def to_dev(a):
+        a = np.asarray(a)
+        return jnp.asarray(a, jnp.float32) \
+            if np.issubdtype(a.dtype, np.floating) else jnp.asarray(a)
+
+    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
+    args = (hmm._trans, hmm._consts, hmm._xmsa_rows, hmm._naive_bases,
+            tree, jax.tree.map(to_dev, eig), to_dev(samples.pi),
+            to_dev(rates), jax.random.PRNGKey(7))
+    statics = dict(heavy=True, n_slots=n_slots)
+
+    jit_out = np.asarray(phylo_step_packed_jit(*args, **statics))
+    exec_cache.cached_call(phylo_step_packed_jit, "tpu_parity", statics,
+                           *args)
+    d = tmp_path / "exec"
+    assert _wait_for(
+        lambda: d.is_dir() and any(p.endswith(".pkl")
+                                   for p in os.listdir(d)), timeout=60)
+    exec_cache._MEM.clear()
+    cached_out = np.asarray(exec_cache.cached_call(
+        phylo_step_packed_jit, "tpu_parity", statics, *args))
+    np.testing.assert_array_equal(jit_out, cached_out)
