@@ -245,9 +245,15 @@ def run_repertoire(
 
     from linearham_tpu.utils.profiling import StageTimer
 
-    # Overlap the remote backend dial with host-side bucket stacking
-    # (same rationale as run_pipeline).
-    threading.Thread(target=jax.devices, daemon=True).start()
+    # Overlap the remote backend dial + first-put transfer warmup with
+    # host-side bucket stacking (same rationale as run_pipeline).
+    def _dial():
+        try:
+            jax.block_until_ready(jax.device_put(np.zeros(8, np.float32)))
+        except Exception:
+            pass
+
+    threading.Thread(target=_dial, daemon=True).start()
     timer = StageTimer()
     buckets: Dict[Tuple, List[int]] = {}
     for i, t in enumerate(tasks):

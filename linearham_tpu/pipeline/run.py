@@ -321,11 +321,20 @@ def run_pipeline(
     from linearham_tpu.compiler.family_cache import cached_phylo_hmm
 
     enable_persistent_cache()
-    # Dial the backend on a side thread: on remote-relay TPUs the first
-    # device contact costs ~1-1.5 s of pure connection setup, which can
-    # overlap the host-side TSV load and family-cache read instead of
-    # serializing inside build_hmm.
-    dial = threading.Thread(target=jax.devices, daemon=True)
+
+    # Dial the backend AND warm the transfer path on a side thread: on
+    # remote-relay TPUs the first device contact costs ~1-1.5 s of pure
+    # connection setup and the first device_put pays additional
+    # transfer-manager warmup; both overlap the host-side TSV load,
+    # family-cache read, and ensemble pre-parse instead of serializing
+    # inside build_hmm/device_transfer.
+    def _dial():
+        try:
+            jax.block_until_ready(jax.device_put(np.zeros(8, np.float32)))
+        except Exception:
+            pass
+
+    dial = threading.Thread(target=_dial, daemon=True)
     dial.start()
     t0 = _time.perf_counter()
     samples = load_tree_samples(input_path)
