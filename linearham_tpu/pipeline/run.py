@@ -182,20 +182,32 @@ def run_pipeline_arrays(
         return tree_c, eig_c, pi_c, rates_c, n_slots
 
     # Software pipeline over chunks: dispatch chunk k's device step
-    # (async), THEN stage chunk k+1 (parse/eigen/transfers) and decode
-    # chunk k-1's paths while the device is busy, and only then block on
-    # chunk k.  Host work thus overlaps device compute instead of
-    # serializing with it (the reference interleaves libpll work and TSV
-    # output serially per tree, src/PhyloHMM.cpp:393-446).
+    # (async), hand chunk k-1's drain (host read + decode + streamed
+    # write) to a single-worker reader thread, and stage chunk k+1
+    # (parse/eigen/transfers) on the main thread while the device is
+    # busy.  Drains execute in submission order on the one worker, so
+    # streamed TSV rows stay ordered; the worker's blocking host reads
+    # (a fixed round trip each on remote relays) overlap the main
+    # thread's staging instead of serializing with it.  (The reference
+    # interleaves libpll work and TSV output serially per tree,
+    # src/PhyloHMM.cpp:393-446.)
+    from concurrent.futures import ThreadPoolExecutor
+
     staged = stage_chunk(0)
     pending = None   # (start, n_valid, packed_c) awaiting decode
     first_chunk = True
-    with maybe_trace(trace_dir):
+    futures = []
+    with maybe_trace(trace_dir), ThreadPoolExecutor(1) as drain_pool:
+        def submit_drain(item):
+            futures.append(drain_pool.submit(
+                _drain_chunk, hmm, timer, logliks, paths, *item,
+                on_chunk=on_chunk))
+
         for start in range(0, T, chunk_size):
             tree_c, eig_c, pi_c, rates_c, n_slots = staged
             key, subkey = jax.random.split(key)
             stage = "compile_and_first_step" if first_chunk \
-                else "device_step"
+                else "dispatch"
             with timer.stage(stage):
                 path_c = step(
                     hmm._trans, hmm._consts, hmm._xmsa_rows,
@@ -207,15 +219,15 @@ def run_pipeline_arrays(
                     # separates compile cost from steady-state time.
                     jax.block_until_ready(path_c)
             first_chunk = False
+            if pending is not None:
+                submit_drain(pending)
+            pending = (start, min(chunk_size, T - start), path_c)
             if start + chunk_size < T:
                 staged = stage_chunk(start + chunk_size)
-            if pending is not None:
-                _drain_chunk(hmm, timer, logliks, paths, *pending,
-                             on_chunk=on_chunk)
-            pending = (start, min(chunk_size, T - start), path_c)
         if pending is not None:
-            _drain_chunk(hmm, timer, logliks, paths, *pending,
-                         on_chunk=on_chunk)
+            submit_drain(pending)
+        for f in futures:
+            f.result()   # propagate drain errors; also the tail barrier
 
     return PipelineResult(
         samples=samples,
