@@ -2,15 +2,19 @@
 """Headline benchmark: posterior-tree pipeline throughput per chip.
 
 Modes (BENCH_MODE):
-  pipeline    (default) the full production unit, matching the reference's
-              --pipeline invocation (src/PhyloHMM.cpp:393-446): partis
-              YAML + RevBayes TSV in -> per-tree loglik/sample/annotation
-              -> output TSV, including host parse/decode/write.
-  step        the fused device step alone: Felsenstein pruning over the
-              xMSA x 4 gamma rates + HMM forward + FFBS, batched over
-              trees.
-  repertoire  multi-family stacked execution on one chip.
-  scaling     virtual-CPU-mesh sharding-overhead table (no TPU).
+  pipeline         (default) the full production unit, matching the
+                   reference's --pipeline invocation
+                   (src/PhyloHMM.cpp:393-446): partis YAML + RevBayes TSV
+                   in -> per-tree loglik/sample/annotation -> output TSV,
+                   including host parse/decode/write.
+  step             the fused device step alone: Felsenstein pruning over
+                   the xMSA x 4 gamma rates + HMM forward + FFBS, batched
+                   over trees.
+  repertoire       the full per-family repertoire unit: per-family
+                   YAML+TSV in -> bucket stack -> stacked device step ->
+                   per-family decode -> per-family output TSVs.
+  repertoire_step  the stacked multi-family DEVICE step alone.
+  scaling          virtual-CPU-mesh sharding-overhead table (no TPU).
 
 The BASELINE.md target is >=1000 trees/sec/chip.  Prints ONE JSON line
 with at least {"metric", "value", "unit", "vs_baseline"}; extra keys
