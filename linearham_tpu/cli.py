@@ -79,6 +79,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-size", type=int, default=256,
                    help="trees per fused device step (larger chunks "
                         "amortize dispatch overhead; default 256)")
+
+    p = sub.add_parser(
+        "warmup",
+        help="pre-bake the family/executable/compile caches for a "
+             "family + ensemble shape (a later pipeline run starts "
+             "with ~0.2s of fixed cost instead of seconds)")
+    _base_args(p)
+    p.add_argument("--input-path", required=True,
+                   help="RevBayes output TSV file (shapes are taken "
+                        "from it; only the first chunk is executed)")
+    p.add_argument("--chunk-size", type=int, default=256,
+                   help="chunk size the later pipeline run will use "
+                        "(the compiled-step cache is shape-keyed)")
     return top
 
 
@@ -126,6 +139,31 @@ def main(argv=None) -> int:
                                   args.alpha, args.num_rates)
         for ann in hmm.sample_annotations(args.N):
             print(ann.naive_seq)
+    elif args.subcommand == "warmup":
+        import time
+
+        from linearham_tpu.io.trees_tsv import load_tree_samples
+        from linearham_tpu.pipeline.run import run_pipeline_arrays
+
+        t0 = time.perf_counter()
+        hmm = cached_phylo_hmm(
+            args.yaml_path, args.cluster_ind, args.hmm_param_dir,
+            seed=args.seed, dtype=dtype)
+        samples = load_tree_samples(args.input_path)
+        # One chunk through the real step: shapes are pinned from the
+        # WHOLE ensemble (max_chunks only limits execution), so the
+        # compiled/cached executable exactly matches a full run, and
+        # every cache is left populated.
+        result = run_pipeline_arrays(hmm, samples, args.num_rates,
+                                     seed=args.seed,
+                                     chunk_size=args.chunk_size,
+                                     max_chunks=1)
+        n = len(result.annotations)
+        assert n == min(args.chunk_size, samples.n_samples)
+        print(f"warmup ok: family + step caches populated for "
+              f"chunk={args.chunk_size} in "
+              f"{time.perf_counter() - t0:.1f}s "
+              f"({n} trees exercised)")
     else:
         from linearham_tpu.pipeline.run import run_pipeline
 

@@ -103,12 +103,16 @@ def run_pipeline_arrays(
     trace_dir: Optional[str] = None,
     on_chunk=None,
     rates: Optional[np.ndarray] = None,
+    max_chunks: Optional[int] = None,
 ) -> PipelineResult:
     """Run the full ensemble through the fused device step.
 
     ``on_chunk(start, n_valid, logliks, annotations)`` (optional) fires
     as each chunk drains, enabling streamed output writing that overlaps
-    the remaining device work.
+    the remaining device work.  ``max_chunks`` stops after that many
+    dispatched chunks (the warmup path: shapes are still pinned from the
+    WHOLE ensemble, so the compiled/cached step matches a full run);
+    results then cover only the executed rows.
 
     Host work is streamed per chunk inside the software pipeline: chunk
     k+1's Newick parse + GTR eigendecomposition + transfers and chunk
@@ -203,7 +207,10 @@ def run_pipeline_arrays(
                 _drain_chunk, hmm, timer, logliks, paths, *item,
                 on_chunk=on_chunk))
 
-        for start in range(0, T, chunk_size):
+        starts = list(range(0, T, chunk_size))
+        if max_chunks is not None:
+            starts = starts[:max_chunks]
+        for start in starts:
             tree_c, eig_c, pi_c, rates_c, n_slots = staged
             key, subkey = jax.random.split(key)
             stage = "compile_and_first_step" if first_chunk \

@@ -226,3 +226,35 @@ def test_mid_stream_deeper_tree_single_shape(fixtures_dir, tmp_path):
             float(samples.alpha[t]), 4)
         assert result.lh_loglik[t] == pytest.approx(
             single.log_likelihood(), rel=1e-9), f"tree {t}"
+
+
+def test_cli_warmup(fixtures_dir, tsv, tmp_path, monkeypatch):
+    """`warmup` executes exactly one chunk against full-ensemble shapes
+    and leaves the family cache populated for the later pipeline run."""
+    import subprocess
+
+    from linearham_tpu.cli import main
+
+    monkeypatch.setenv("LINEARHAM_FAMILY_CACHE", str(tmp_path / "fam"))
+    monkeypatch.setenv("LINEARHAM_EXEC_CACHE", "off")
+    rc = main(["warmup", "--yaml-path",
+               str(fixtures_dir / "phylo_hmm_input.yaml"),
+               "--cluster-ind", "0", "--hmm-param-dir",
+               str(fixtures_dir / "hmm_params"),
+               "--input-path", str(tsv), "--num-rates", "4",
+               "--chunk-size", "2", "--precision", "f64"])
+    assert rc in (0, None)
+    assert any(p.suffix == ".pkl" for p in (tmp_path / "fam").iterdir())
+
+
+def test_max_chunks_partial_results(fixtures_dir, tsv):
+    hmm = PhyloHMM(str(fixtures_dir / "phylo_hmm_input.yaml"), 0,
+                   str(fixtures_dir / "hmm_params"), seed=0)
+    samples = load_tree_samples(str(tsv))
+    partial = run_pipeline_arrays(hmm, samples, num_rates=4, seed=0,
+                                  chunk_size=2, max_chunks=1)
+    full = run_pipeline_arrays(hmm, samples, num_rates=4, seed=0,
+                               chunk_size=2)
+    assert len(partial.annotations) == 2
+    np.testing.assert_allclose(partial.lh_loglik[:2], full.lh_loglik[:2],
+                               rtol=1e-12)
