@@ -140,16 +140,32 @@ def main(argv=None) -> int:
         for ann in hmm.sample_annotations(args.N):
             print(ann.naive_seq)
     elif args.subcommand == "warmup":
+        import threading
         import time
+
+        import numpy as np
 
         from linearham_tpu.io.trees_tsv import load_tree_samples
         from linearham_tpu.pipeline.run import run_pipeline_arrays
 
         t0 = time.perf_counter()
+
+        # Same dial/transfer-warmup overlap as run_pipeline: the remote
+        # relay's connection setup hides behind the host-side loads.
+        def _dial():
+            try:
+                import jax
+
+                jax.block_until_ready(
+                    jax.device_put(np.zeros(8, np.float32)))
+            except Exception:
+                pass
+
+        threading.Thread(target=_dial, daemon=True).start()
+        samples = load_tree_samples(args.input_path)
         hmm = cached_phylo_hmm(
             args.yaml_path, args.cluster_ind, args.hmm_param_dir,
-            seed=args.seed, dtype=dtype)
-        samples = load_tree_samples(args.input_path)
+            seed=args.seed, dtype=dtype, place=False)
         # One chunk through the real step: shapes are pinned from the
         # WHOLE ensemble (max_chunks only limits execution), so the
         # compiled/cached executable exactly matches a full run, and
@@ -159,7 +175,10 @@ def main(argv=None) -> int:
                                      chunk_size=args.chunk_size,
                                      max_chunks=1)
         n = len(result.annotations)
-        assert n == min(args.chunk_size, samples.n_samples)
+        expected = min(args.chunk_size, samples.n_samples)
+        if n != expected:
+            raise RuntimeError(
+                f"warmup drained {n} trees, expected {expected}")
         print(f"warmup ok: family + step caches populated for "
               f"chunk={args.chunk_size} in "
               f"{time.perf_counter() - t0:.1f}s "

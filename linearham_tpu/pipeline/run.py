@@ -229,7 +229,9 @@ def run_pipeline_arrays(
             if pending is not None:
                 submit_drain(pending)
             pending = (start, min(chunk_size, T - start), path_c)
-            if start + chunk_size < T:
+            if start != starts[-1] and start + chunk_size < T:
+                # (the first clause matters only under max_chunks: do not
+                # stage transfers for a chunk that will never dispatch)
                 staged = stage_chunk(start + chunk_size)
         if pending is not None:
             submit_drain(pending)
