@@ -174,12 +174,17 @@ def pipeline_mode() -> int:
 
     from linearham_tpu.io.germline import write_gene_dir
     from linearham_tpu.pipeline.run import run_pipeline
-    from linearham_tpu.utils.synth import (make_family, make_tree_samples,
+    from linearham_tpu.utils.synth import (make_family, make_light_family,
+                                           make_tree_samples,
                                            write_partis_yaml,
                                            write_trees_tsv)
 
+    # BENCH_LOCUS=igk exercises the 5-region light-chain path (V-J, no D)
+    # at the same ensemble scale.
+    locus = os.environ.get("BENCH_LOCUS", "igh")
     with tempfile.TemporaryDirectory() as tmp:
-        fam = make_family(n_seqs=n_seqs, seed=0)
+        fam = make_light_family(n_seqs=n_seqs, seed=0) \
+            if locus != "igh" else make_family(n_seqs=n_seqs, seed=0)
         gene_dir = os.path.join(tmp, "hmm_params")
         write_gene_dir(fam.genes, gene_dir)
         yaml_path = os.path.join(tmp, "partis_run.yaml")
