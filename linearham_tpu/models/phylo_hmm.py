@@ -92,12 +92,15 @@ def _gather_consts(space, xmsa: Xmsa, dtype):
         consts[name] = {"m": m.astype(np.int16)}
 
     def junction(name, inds):
-        rows, S = inds.shape
-        g = np.zeros((X, rows * S), np.int8)  # one-hot: int8 exact
-        flat = np.asarray(np.maximum(inds, 0), np.intp).ravel()
-        g[flat, np.arange(rows * S)] = 1
+        # Ship only the [rows, S] xMSA column indices; the one-hot
+        # selection matrix the emission matmul contracts against is
+        # rebuilt ON DEVICE from an iota comparison (region_emissions).
+        # The materialized one-hots were ~90% of a stacked repertoire
+        # bucket's wire bytes (~23MB int8 at 32 families) for pure index
+        # structure a few KB of int16 encodes.
+        it = np.int16 if X < 2**15 - 1 else np.int32
         consts[name] = {
-            "g": g,
+            "inds": np.asarray(inds, it),     # [rows, S]; -1 = dead cell
             "mask": np.asarray(inds >= 0),    # [rows, S]; also carries the
         }                                     # (rows, S) shape for reshape
 
@@ -131,7 +134,14 @@ def region_emissions(site_loglik: jnp.ndarray, consts: dict,
 
     def junction(name):
         c = consts[name]
-        vals = (safe @ c["g"].astype(f)).reshape((T,) + c["mask"].shape)
+        X = safe.shape[1]
+        flat = jnp.maximum(c["inds"], 0).reshape(1, -1)     # [1, rows*S]
+        # One-hot built in-jit (iota == index): keeps the gather as an
+        # MXU matmul (a [T, X] axis-1 gather measured ~2x the pruning
+        # kernel's cost on v5e) without shipping the one-hot over the
+        # wire.  Dead cells (-1) select column 0 and are masked below.
+        oh = (jnp.arange(X, dtype=flat.dtype)[:, None] == flat).astype(f)
+        vals = (safe @ oh).reshape((T,) + c["mask"].shape)
         emis[name] = jnp.where(c["mask"][None], vals, -jnp.inf)
 
     linear("vpadding")

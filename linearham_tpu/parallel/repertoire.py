@@ -162,15 +162,15 @@ def _stack_bucket(tasks: List[FamilyTask], num_rates: int, dtype):
             _pad(c[name]["m"], (X, n_genes)) for c in consts_list])}
 
     def stack_junction(name, rows, n_states):
-        gs, masks = [], []
+        # Pad the [rows, S] index maps with -1 (dead cells, masked out);
+        # family-local xMSA column indices stay valid in the padded
+        # batch because each family occupies the leading columns.
+        inds_list, masks = [], []
         for c in consts_list:
-            r_f, s_f = c[name]["mask"].shape
-            x_f = c[name]["g"].shape[0]
-            g3 = np.asarray(c[name]["g"]).reshape(x_f, r_f, s_f)
-            gs.append(_pad(g3, (X, rows, n_states)).reshape(
-                X, rows * n_states))
+            inds_list.append(
+                _pad(np.asarray(c[name]["inds"]), (rows, n_states), -1))
             masks.append(_pad(c[name]["mask"], (rows, n_states), False))
-        return {"g": np.stack(gs), "mask": np.stack(masks)}
+        return {"inds": np.stack(inds_list), "mask": np.stack(masks)}
 
     r1 = hmms[0].space.vd_junction.n_rows
     consts = {
