@@ -10,6 +10,8 @@ Mirrors the reference binary's subcommand contract
   python -m linearham_tpu.cli pipeline --yaml-path ... --cluster-ind 0
       --hmm-param-dir ... --input-path revbayes.trees --output-path out.tsv
       [--num-rates K] [--seed S]
+  python -m linearham_tpu.cli warmup   (pipeline args minus --output-path;
+      pre-bakes the family/executable caches for the ensemble's shapes)
 
 Both ``--compute-logl`` (reference spelling) and ``compute-logl`` forms are
 accepted.
