@@ -115,6 +115,26 @@ def _entry_path(key: str) -> Optional[str]:
     return None if d is None else os.path.join(d, key + ".pkl")
 
 
+# Entries are keyed by package source hash, so every code change strands
+# the previous version's executables (~40MB each at production shapes);
+# prune anything not touched in this many days when storing new ones.
+_PRUNE_AGE_DAYS = 14
+
+
+def _prune_stale(dirname: str, keep: str) -> None:
+    import time
+
+    cutoff = time.time() - _PRUNE_AGE_DAYS * 86400
+    try:
+        for fn in os.listdir(dirname):
+            p = os.path.join(dirname, fn)
+            if p != keep and fn.endswith(".pkl") \
+                    and os.path.getmtime(p) < cutoff:
+                os.unlink(p)
+    except OSError:
+        pass
+
+
 def _store(path: str, compiled) -> None:
     import jax
     from jax.experimental import serialize_executable as se
@@ -133,6 +153,7 @@ def _store(path: str, compiled) -> None:
 
     with atomic_write(path, "wb") as fh:
         pickle.dump({"blob": blob, "n_devices": n_devices}, fh)
+    _prune_stale(os.path.dirname(path), keep=path)
 
 
 def _load(path: str):

@@ -253,3 +253,28 @@ def test_exec_cache_hit_bitwise_identical_on_tpu(tmp_path, monkeypatch):
     cached_out = np.asarray(exec_cache.cached_call(
         phylo_step_packed_jit, "tpu_parity", statics, *args))
     np.testing.assert_array_equal(jit_out, cached_out)
+
+
+def test_exec_cache_prunes_stale_entries(tmp_path, monkeypatch):
+    """Storing a new entry removes .pkl files untouched for the prune
+    window (entries strand whenever the source hash changes)."""
+    from linearham_tpu.utils import exec_cache
+
+    d = tmp_path / "exec"
+    monkeypatch.setenv("LINEARHAM_EXEC_CACHE", "force:" + str(d))
+    d.mkdir()
+    stale = d / "deadbeef.pkl"
+    stale.write_bytes(b"old")
+    old = time.time() - (exec_cache._PRUNE_AGE_DAYS + 1) * 86400
+    os.utime(stale, (old, old))
+    fresh = d / "cafef00d.pkl"
+    fresh.write_bytes(b"recent")
+
+    @jax.jit
+    def f(x):
+        return x + 2.0
+
+    x = jnp.ones((4,), jnp.float32)
+    exec_cache.cached_call(f, "prune_test", {}, x)
+    assert _wait_for(lambda: not stale.exists())
+    assert fresh.exists()   # recent entries survive
