@@ -456,8 +456,10 @@ class PhyloHMM:
         — bucket stacking reads the host copies only.
         """
         if not self._placed:
+            from linearham_tpu.utils.wire import device_put_packed
+
             (self._trans, self._consts, self._xmsa_rows,
-             self._naive_bases) = jax.device_put(
+             self._naive_bases) = device_put_packed(
                 (self._trans_np, self._consts_np, self._xmsa_rows_np,
                  self._naive_bases_np))
             self._placed = True
@@ -482,15 +484,14 @@ class PhyloHMM:
     def init_phylo_emission(self) -> None:
         self._run(sample_key=None)
 
-    def _device_tree(self, tb: TreeBatch) -> dict:
+    def _host_tree(self, tb: TreeBatch) -> dict:
+        """Wire-ready host copies of a tree batch: topology indices as
+        int16 when they fit (slot counts are < 32k for any real family —
+        a 312-seq tree has ~700 slots), halving the dominant transfer
+        bytes of each chunk; phylo_emissions widens them on device."""
         f = np.dtype(jnp.dtype(self._dtype).name)
-        # One batched put: per-array puts each pay a fixed round trip on
-        # remote TPU relays.  Topology indices ride the wire as int16
-        # when they fit (slot counts are < 32k for any real family —
-        # a 312-seq tree has ~700 slots), halving the dominant transfer
-        # bytes of each chunk; phylo_emissions widens them on device.
         i = np.int16 if tb.n_slots < 2**15 - 1 else np.int32
-        return jax.device_put({
+        return {
             "tip_perm": np.asarray(tb.tip_perm, i),
             "tip_parent": np.asarray(tb.tip_parent, i),
             "tip_length": np.asarray(tb.tip_length, f),
@@ -498,7 +499,14 @@ class PhyloHMM:
             "edge_parent": np.asarray(tb.edge_parent, i),
             "edge_length": np.asarray(tb.edge_length, f),
             "root_slot": np.asarray(tb.root_slot, i),
-        })
+        }
+
+    def _device_tree(self, tb: TreeBatch) -> dict:
+        # One packed put: per-array puts each pay a fixed round trip on
+        # remote TPU relays (utils/wire.py).
+        from linearham_tpu.utils.wire import device_put_packed
+
+        return device_put_packed(self._host_tree(tb))
 
     def _ensemble_inputs(self):
         """Replicated GTR/rate inputs for the current single-tree batch."""

@@ -310,11 +310,13 @@ def run_repertoire(
             if mesh is not None:
                 args = shard_family_batch(mesh, *host_args, keys)
             else:
-                # ONE batched put for the whole stacked bucket: per-leaf
+                # ONE packed put for the whole stacked bucket: per-leaf
                 # puts each pay a fixed round trip on remote relays
-                # (~30 leaves measured ~3-4s of pure put overhead vs
-                # ~0.5s batched for the same bytes).
-                args = (*jax.device_put(host_args), keys)
+                # (~30 leaves measured ~1.2s of pure put overhead for
+                # ~8MB; utils/wire.py ships one buffer per dtype).
+                from linearham_tpu.utils.wire import device_put_packed
+
+                args = (*device_put_packed(host_args), keys)
 
         with timer.stage("device_step"):
             from linearham_tpu.utils.exec_cache import cached_call

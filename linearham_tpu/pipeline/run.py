@@ -177,12 +177,17 @@ def run_pipeline_arrays(
             )
             eig_np = gtr_eigen(er_all[idx], pi_all[idx])
         with timer.stage("device_transfer"):
+            from linearham_tpu.utils.wire import device_put_packed
+
             hmm.place()   # no-op once placed; deferred so ALL host work
-            tree_c = hmm._device_tree(tb)   # precedes first device contact
-            eig_c = jax.tree.map(
-                lambda a: jnp.asarray(np.asarray(a), dtype), eig_np)
-            pi_c = jnp.asarray(pi_all[idx], dtype)
-            rates_c = jnp.asarray(rates_all[idx], dtype)
+            np_dtype = np.dtype(jnp.dtype(dtype).name)  # precedes first
+            tree_c, eig_c, pi_c, rates_c = device_put_packed((
+                hmm._host_tree(tb),                     # device contact
+                jax.tree.map(
+                    lambda a: np.asarray(a, np_dtype), eig_np),
+                np.asarray(pi_all[idx], np_dtype),
+                np.asarray(rates_all[idx], np_dtype),
+            ))
         return tree_c, eig_c, pi_c, rates_c, n_slots
 
     # Software pipeline over chunks: dispatch chunk k's device step
