@@ -70,7 +70,9 @@ class CompiledFamily:
 
     def device_transitions(self, dtype=jnp.float64) -> Dict[str, jnp.ndarray]:
         """The transition pytree consumed by ops.forward.forward."""
-        return jax.device_put(
+        from linearham_tpu.utils.wire import device_put_packed
+
+        return device_put_packed(
             self.host_transitions(np.dtype(jnp.dtype(dtype).name)))
 
 

@@ -238,7 +238,8 @@ def run_repertoire(
 
     ``timings`` (optional dict) accumulates per-stage seconds with the
     pipeline-mode stage names: stack_families (host pad/stack),
-    device_step (dispatch + the single packed host read per bucket),
+    device_transfer (host dtype casts + the single packed put per
+    bucket), device_step (dispatch + the single packed host read),
     decode (host path decode per family).
     """
     import threading
@@ -297,7 +298,10 @@ def run_repertoire(
 
         def to_host(a):
             a = np.asarray(a)
-            return a.astype(dtype) if np.issubdtype(
+            # copy=False: the common case (data already in the compute
+            # dtype) must not pay an extra full host copy here — the
+            # packed put below concatenates (and therefore copies) once.
+            return a.astype(dtype, copy=False) if np.issubdtype(
                 a.dtype, np.floating) else a
 
         with timer.stage("device_transfer"):

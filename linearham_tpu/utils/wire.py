@@ -36,7 +36,9 @@ def _unpack(buffers, spec):
                 n *= s
             out[idx] = buf[off:off + n].reshape(shape)
             off += n
-    return tuple(out[i] for i in range(len(out)))
+    # Leaf indices may have gaps (device-resident leaves bypass packing);
+    # return in ascending-index order, matching the caller's sorted map.
+    return tuple(out[i] for i in sorted(out))
 
 
 def device_put_packed(tree):
@@ -49,16 +51,30 @@ def device_put_packed(tree):
     if not leaves:
         return tree
     groups = {}
+    passthrough = {}
     for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):
+            # Already on device: np.asarray would force a device->host
+            # read (a full relay round trip) just to re-upload it.
+            # Leave it in place, exactly as jax.device_put would.
+            passthrough[i] = leaf
+            continue
         a = np.asarray(leaf)
         groups.setdefault(a.dtype.str, []).append((i, a))
     buffers = {}
     spec = []
     for key in sorted(groups):
         items = groups[key]
-        buffers[key] = np.concatenate(
-            [a.ravel() for _, a in items]) if items else np.empty(0)
+        buffers[key] = np.concatenate([a.ravel() for _, a in items])
         spec.append((key, tuple((i, a.shape) for i, a in items)))
-    dev = jax.device_put(buffers)
-    out_leaves = _unpack(dev, spec=tuple(spec))
-    return jax.tree.unflatten(treedef, list(out_leaves))
+    if groups:
+        dev = jax.device_put(buffers)
+        unpacked = _unpack(dev, spec=tuple(spec))
+        order = [i for _, items in spec for i, _ in items]
+        # _unpack returns leaves sorted by original index
+        packed_out = dict(zip(sorted(order), unpacked))
+    else:
+        packed_out = {}
+    out = [passthrough[i] if i in passthrough else packed_out[i]
+           for i in range(len(leaves))]
+    return jax.tree.unflatten(treedef, out)

@@ -36,3 +36,19 @@ def test_single_leaf():
     x = np.arange(12, dtype=np.float64).reshape(3, 4)
     out = device_put_packed(x)
     np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_device_resident_leaves_pass_through():
+    """A jax.Array leaf must NOT round-trip through host (that would pay
+    the device->host read the module exists to avoid); it is returned
+    as-is while numpy leaves still pack."""
+    import jax.numpy as jnp
+
+    dev = jnp.arange(6.0).reshape(2, 3)
+    tree = {"host": np.ones((3,), np.int16), "dev": dev,
+            "host2": np.full((2, 2), 2.5)}
+    out = device_put_packed(tree)
+    assert out["dev"] is dev
+    np.testing.assert_array_equal(np.asarray(out["host"]), tree["host"])
+    np.testing.assert_array_equal(np.asarray(out["host2"]), tree["host2"])
+    assert np.asarray(out["host"]).dtype == np.int16
