@@ -181,6 +181,15 @@ def main(argv=None) -> int:
         if n != expected:
             raise RuntimeError(
                 f"warmup drained {n} trees, expected {expected}")
+        # The exec-cache persist runs on a daemon thread; this process
+        # exists to leave caches populated, so join it before declaring
+        # success (a ~40MB serialize killed at interpreter exit would
+        # leave the exec cache silently cold).
+        from linearham_tpu.utils.exec_cache import flush
+
+        if not flush(timeout=300.0):
+            raise RuntimeError(
+                "warmup: executable serialization did not finish")
         print(f"warmup ok: family + step caches populated for "
               f"chunk={args.chunk_size} in "
               f"{time.perf_counter() - t0:.1f}s "

@@ -29,7 +29,7 @@ from typing import Callable, Dict, Optional
 
 _MEM: Dict[str, Callable] = {}
 _POISONED = object()   # entry loaded but unrunnable in this process
-_INFLIGHT: set = set()  # entries with a persist thread already running
+_INFLIGHT: Dict[str, threading.Thread] = {}  # path -> running persist thread
 _LOCK = threading.Lock()
 _SRC_HASH: Optional[str] = None
 
@@ -85,6 +85,22 @@ def source_hash() -> str:
     return _SRC_HASH
 
 
+def _jaxlib_version() -> str:
+    # jaxlib can diverge from jax; a jaxlib-only upgrade must not
+    # deserialize an executable built against a different runtime.
+    try:
+        import jaxlib.version
+
+        return jaxlib.version.__version__
+    except Exception:
+        try:
+            import jax
+
+            return jax.lib.__version__  # older layouts
+        except Exception:
+            return "unknown"
+
+
 def _signature(name: str, statics: dict, args) -> str:
     import jax
 
@@ -94,6 +110,7 @@ def _signature(name: str, statics: dict, args) -> str:
         name,
         source_hash(),
         jax.__version__,
+        _jaxlib_version(),
         getattr(d, "platform", ""),
         getattr(d, "device_kind", ""),
         getattr(d.client, "platform_version", ""),
@@ -125,11 +142,18 @@ def _prune_stale(dirname: str, keep: str) -> None:
     import time
 
     cutoff = time.time() - _PRUNE_AGE_DAYS * 86400
+    # .partial temp files are strandable (a writer killed mid-persist at
+    # interpreter exit); anything older than an hour is certainly dead.
+    partial_cutoff = time.time() - 3600
     try:
         for fn in os.listdir(dirname):
             p = os.path.join(dirname, fn)
-            if p != keep and fn.endswith(".pkl") \
-                    and os.path.getmtime(p) < cutoff:
+            if p == keep:
+                continue
+            if fn.endswith(".pkl") and os.path.getmtime(p) < cutoff:
+                os.unlink(p)
+            elif fn.endswith(".partial") \
+                    and os.path.getmtime(p) < partial_cutoff:
                 os.unlink(p)
     except OSError:
         pass
@@ -192,23 +216,19 @@ def cached_call(jitfn, name: str, statics: dict, *args):
         if fn is not None:
             with _LOCK:
                 _MEM[path] = fn
-    run_failed = False
     if fn is not None and fn is not _POISONED:
         try:
             return fn(*args)
         except Exception:
-            # A loaded executable that will not run here (device-count or
-            # machine mismatch) is poisoned for this process AND removed
-            # from disk so the next process does not hit it too; the jit
-            # path below still produces the result and re-persists a
-            # working entry.
-            run_failed = True
+            # A loaded executable that fails to RUN is poisoned for this
+            # process only; the on-disk entry stays.  Load-time failures
+            # (corrupt pickle, deserialize error) already unlinked above;
+            # an execution failure here is usually transient (device OOM,
+            # relay hiccup) and must not evict a valid ~40MB entry that
+            # every later process would have to recompile and re-persist.
+            # The jit path below still produces the result.
             with _LOCK:
                 _MEM[path] = _POISONED
-            try:
-                os.unlink(path)
-            except OSError:
-                pass
 
     out = jitfn(*args, **statics)
 
@@ -217,14 +237,14 @@ def cached_call(jitfn, name: str, statics: dict, *args):
             compiled = jitfn.lower(*args, **statics).compile()
             _store(path, compiled)
             with _LOCK:
-                _MEM[path] = compiled
+                _MEM[path] = compiled  # this-process-compiled: known good
         except Exception:
             pass  # cache population is best-effort
         finally:
             with _LOCK:
-                _INFLIGHT.discard(path)
+                _INFLIGHT.pop(path, None)
 
-    if run_failed or not os.path.exists(path):
+    if not os.path.exists(path):
         # One persist thread per entry: serialize+write of a ~39MB
         # executable takes seconds, and the pipeline calls the same
         # signature once per chunk — without the in-flight guard every
@@ -232,7 +252,35 @@ def cached_call(jitfn, name: str, statics: dict, *args):
         with _LOCK:
             spawn = path not in _INFLIGHT
             if spawn:
-                _INFLIGHT.add(path)
+                t = threading.Thread(target=persist, daemon=True)
+                _INFLIGHT[path] = t
         if spawn:
-            threading.Thread(target=persist, daemon=True).start()
+            t.start()
     return out
+
+
+def flush(timeout: Optional[float] = 120.0) -> bool:
+    """Join in-flight persist threads; True if all completed.
+
+    Persists run on daemon threads so they never block a long-lived
+    pipeline process, but a short-lived process (notably the ``warmup``
+    CLI subcommand, whose entire purpose is leaving caches populated)
+    must call this before exiting, or the ~40MB executable serialization
+    can be killed mid-write and the exec cache silently stays cold.
+    """
+    import time
+
+    deadline = None if timeout is None else time.monotonic() + timeout
+    while True:
+        with _LOCK:
+            threads = [t for t in _INFLIGHT.values() if t.is_alive()]
+        if not threads:
+            return True
+        for t in threads:
+            left = None if deadline is None \
+                else max(0.0, deadline - time.monotonic())
+            t.join(left)
+            if deadline is not None and time.monotonic() >= deadline:
+                with _LOCK:
+                    return not any(
+                        t.is_alive() for t in _INFLIGHT.values())

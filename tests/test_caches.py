@@ -278,3 +278,96 @@ def test_exec_cache_prunes_stale_entries(tmp_path, monkeypatch):
     exec_cache.cached_call(f, "prune_test", {}, x)
     assert _wait_for(lambda: not stale.exists())
     assert fresh.exists()   # recent entries survive
+
+
+def test_exec_cache_flush_joins_persist(tmp_path, monkeypatch):
+    """flush() must not return success until the background persist has
+    landed the entry (ADVICE r04: a short-lived warmup process exiting
+    early leaves the cache silently cold)."""
+    from linearham_tpu.utils import exec_cache
+
+    d = tmp_path / "exec"
+    monkeypatch.setenv("LINEARHAM_EXEC_CACHE", "force:" + str(d))
+
+    @jax.jit
+    def f(x):
+        return x * 5.0
+
+    x = jnp.ones((6,), jnp.float32)
+    exec_cache.cached_call(f, "flush_test", {}, x)
+    assert exec_cache.flush(timeout=60.0)
+    # After a successful flush the entry is on disk NOW, no waiting.
+    assert d.is_dir() and any(p.endswith(".pkl") for p in os.listdir(d))
+    with exec_cache._LOCK:
+        assert not any(t.is_alive() for t in exec_cache._INFLIGHT.values())
+
+
+def test_exec_cache_runtime_failure_keeps_entry(tmp_path, monkeypatch):
+    """A loaded executable that fails at RUN time must poison only the
+    in-memory handle; the on-disk entry survives for later processes
+    (ADVICE r04: transient device errors must not evict valid entries)."""
+    from linearham_tpu.utils import exec_cache
+
+    d = tmp_path / "exec"
+    monkeypatch.setenv("LINEARHAM_EXEC_CACHE", "force:" + str(d))
+
+    @jax.jit
+    def f(x):
+        return x + 7.0
+
+    x = jnp.ones((5,), jnp.float32)
+    out1 = exec_cache.cached_call(f, "runtime_fail", {}, x)
+    assert exec_cache.flush(timeout=60.0)
+    entry = next(d / p for p in os.listdir(d) if p.endswith(".pkl"))
+    blob = entry.read_bytes()
+
+    class _Boom:
+        def __call__(self, *a):
+            raise RuntimeError("transient device error")
+
+    exec_cache._MEM.clear()
+    path = str(entry)
+    exec_cache._MEM[path] = _Boom()   # simulate loaded-but-failing exec
+    out2 = exec_cache.cached_call(f, "runtime_fail", {}, x)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+    assert entry.exists() and entry.read_bytes() == blob  # NOT evicted
+    assert exec_cache._MEM[path] is exec_cache._POISONED
+
+
+def test_exec_cache_prunes_stale_partials(tmp_path, monkeypatch):
+    """Stranded .partial temp files (writer killed at interpreter exit)
+    are cleaned up by the prune pass alongside stale .pkl entries."""
+    from linearham_tpu.utils import exec_cache
+
+    d = tmp_path / "exec"
+    monkeypatch.setenv("LINEARHAM_EXEC_CACHE", "force:" + str(d))
+    d.mkdir()
+    dead = d / "tmpabc123.partial"
+    dead.write_bytes(b"half-written")
+    old = time.time() - 7200
+    os.utime(dead, (old, old))
+    live = d / "tmpdef456.partial"   # a concurrent writer's fresh temp
+    live.write_bytes(b"in progress")
+
+    @jax.jit
+    def f(x):
+        return x - 3.0
+
+    exec_cache.cached_call(f, "partial_prune", {},
+                           jnp.ones((4,), jnp.float32))
+    assert _wait_for(lambda: not dead.exists())
+    assert live.exists()
+
+
+def test_exec_cache_signature_includes_jaxlib(monkeypatch):
+    """The cache key must track the jaxlib runtime version, not just
+    jax's (ADVICE r04: a jaxlib-only upgrade must miss, not deserialize
+    an executable built against a different runtime)."""
+    from linearham_tpu.utils import exec_cache
+
+    x = jnp.ones((3,), jnp.float32)
+    s1 = exec_cache._signature("v", {}, (x,))
+    real = exec_cache._jaxlib_version()
+    assert real not in ("", "unknown")
+    monkeypatch.setattr(exec_cache, "_jaxlib_version", lambda: real + ".post1")
+    assert exec_cache._signature("v", {}, (x,)) != s1
