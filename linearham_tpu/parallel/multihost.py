@@ -82,6 +82,53 @@ def global_family_mesh(n_tree_shards: int = 1) -> Mesh:
     return Mesh(grid, ("fam", "trees"))
 
 
+def pooled_repertoire_summary_multiprocess(logliks_by_family,
+                                           rb_by_family) -> dict:
+    """Repertoire-wide pooled statistics across ALL processes (SURVEY §2g).
+
+    The single-controller path (``parallel.mesh.pooled_repertoire_summary``)
+    reduces on-device over one mesh; in the recommended multi-host pattern
+    each process runs its own independent per-host repertoire slice, so the
+    repertoire-wide aggregates (total trees, pooled mean LogWeight, mean
+    per-family importance-weight ESS — the quantities the bootstrap stage
+    consumes, postprocess/bootstrap_asr.py) need one reduction that
+    actually crosses process boundaries.  Each process passes its
+    host-local per-family log-likelihood / RB-log-likelihood arrays
+    (ragged lists are fine: families are host-local, only scalar partials
+    travel); the partial sums ride ``multihost_utils.process_allgather``
+    over the global device world, and every process returns the SAME
+    repertoire-wide summary.
+
+    Single-process calls degrade to a plain local computation, so callers
+    need not branch on ``jax.process_count()``.
+    """
+    n_trees = 0
+    sum_lw = 0.0
+    n_fam = 0
+    sum_ess = 0.0
+    for ll, rb in zip(logliks_by_family, rb_by_family):
+        lw = np.asarray(ll, float) - np.asarray(rb, float)
+        e = np.exp(lw - lw.max())
+        n_trees += lw.size
+        sum_lw += float(lw.sum())
+        n_fam += 1
+        sum_ess += float(e.sum() ** 2 / (e * e).sum())
+    partial = np.array([n_trees, sum_lw, n_fam, sum_ess])
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        partial = np.asarray(
+            multihost_utils.process_allgather(partial)).sum(axis=0)
+
+    n_trees, sum_lw, n_fam, sum_ess = partial
+    return {
+        "n_trees": float(n_trees),
+        "mean_logweight": float(sum_lw / n_trees) if n_trees else 0.0,
+        "mean_family_ess": float(sum_ess / n_fam) if n_fam else 0.0,
+    }
+
+
 def process_slice(items: Sequence, process_id: Optional[int] = None,
                   num_processes: Optional[int] = None) -> list:
     """The contiguous slice of ``items`` this host should load.
