@@ -67,6 +67,24 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64),
             ctypes.c_char_p, ctypes.c_long,
         ]
+    if hasattr(lib, "lh_build_schedule"):
+        lib.lh_build_schedule.restype = ctypes.c_int
+        lib.lh_build_schedule.argtypes = [
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            np.ctypeslib.ndpointer(np.int32),     # tip_perm
+            np.ctypeslib.ndpointer(np.int32),     # tip_parent
+            np.ctypeslib.ndpointer(np.float64),   # tip_length
+            np.ctypeslib.ndpointer(np.int32),     # edge_child
+            np.ctypeslib.ndpointer(np.int32),     # edge_parent
+            np.ctypeslib.ndpointer(np.float64),   # edge_length
+            np.ctypeslib.ndpointer(np.int32),     # root_slot
+            np.ctypeslib.ndpointer(np.int32),     # src out
+            np.ctypeslib.ndpointer(np.int32),     # penc out
+            np.ctypeslib.ndpointer(np.float64),   # length out
+            np.ctypeslib.ndpointer(np.int32),     # root out
+            np.ctypeslib.ndpointer(np.int32),     # peak out
+            ctypes.c_char_p, ctypes.c_long,
+        ]
     _lib = lib
     return _lib
 
@@ -137,6 +155,47 @@ def parse_newicks_batch(newicks: Sequence[str], labels: Sequence[str],
         root_slot=(n_internal - 1).astype(np.int32),
         n_slots=n_slots,
     )
+
+
+def build_schedule_batch_native(tb):
+    """Slot-reuse pruning schedules via the C++ kernel (io.schedule docs).
+
+    Returns None when the native library is unavailable or lacks the
+    symbol (callers fall back to the Python builder)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lh_build_schedule"):
+        return None
+    from linearham_tpu.io.schedule import (PruningSchedule, _fill_padding,
+                                           _round_slots)
+
+    T, n_tips = tb.tip_perm.shape
+    e_max = tb.edge_child.shape[1]
+    N = n_tips + e_max
+    src = np.zeros((T, N), np.int32)
+    penc = np.full((T, N), -1, np.int32)
+    length = np.zeros((T, N), np.float64)
+    root = np.zeros(T, np.int32)
+    peak = np.zeros(T, np.int32)
+    err = ctypes.create_string_buffer(256)
+
+    rc = lib.lh_build_schedule(
+        T, n_tips, e_max,
+        np.ascontiguousarray(tb.tip_perm, np.int32),
+        np.ascontiguousarray(tb.tip_parent, np.int32),
+        np.ascontiguousarray(tb.tip_length, np.float64),
+        np.ascontiguousarray(tb.edge_child, np.int32),
+        np.ascontiguousarray(tb.edge_parent, np.int32),
+        np.ascontiguousarray(tb.edge_length, np.float64),
+        np.ascontiguousarray(tb.root_slot, np.int32),
+        src, penc, length, root, peak, err, len(err))
+    if rc != 0:
+        raise ValueError(
+            "native schedule build failed: " + err.value.decode())
+
+    n_slots = _round_slots(int(peak.max()))
+    _fill_padding(src, penc, length, n_slots)
+    return PruningSchedule(src=src, penc=penc, length=length, root=root,
+                           n_slots=n_slots)
 
 
 def parse_trees_tsv_bytes(data: bytes):
