@@ -58,6 +58,39 @@ def _use_pallas_pruning(dtype) -> bool:
     return on_tpu() and dtype == jnp.float32
 
 
+def ensemble_encoding(tb: TreeBatch, dtype):
+    """Host tree-batch encoding for phylo_step: (arrays dict, n_slots).
+
+    When the Pallas kernel will consume the ensemble, trees ship as
+    slot-reuse pruning schedules (io/schedule.py: peak live slots is
+    ~log2(n_tips), which is what lets the kernel's VMEM scratch cover a
+    deep family's whole xMSA in one pass); the jnp path keeps the
+    one-slot-per-internal-node TreeBatch arrays (the downward passes in
+    ops/asr.py need every internal partial retained, and the f64
+    conformance path has no VMEM constraint).  phylo_emissions dispatches
+    on which keys are present.
+    """
+    if _use_pallas_pruning(dtype):
+        from linearham_tpu.io.schedule import build_schedule
+
+        s = build_schedule(tb)
+        return {
+            "sched_src": s.src,
+            "sched_penc": s.penc,
+            "sched_len": s.length,
+            "sched_root": s.root,
+        }, s.n_slots
+    return {
+        "tip_perm": tb.tip_perm,
+        "tip_parent": tb.tip_parent,
+        "tip_length": np.asarray(tb.tip_length, np.float64),
+        "edge_child": tb.edge_child,
+        "edge_parent": tb.edge_parent,
+        "edge_length": np.asarray(tb.edge_length, np.float64),
+        "root_slot": tb.root_slot,
+    }, tb.n_slots
+
+
 # Stand-in for -inf while emissions flow through matmuls (0 * -inf = NaN
 # would poison the one-hot contractions); exp(_NEG_CAP - anything) == 0 in
 # both f32 and f64, and summing a whole region of them stays finite.
@@ -179,16 +212,19 @@ def phylo_emissions(
         for k, v in tree.items()
     }
 
-    if _use_pallas_pruning(eig.u.dtype):
+    if "sched_src" in tree:
         from linearham_tpu.ops.pruning_pallas import (
             site_log_likelihoods_pallas,
         )
+        from linearham_tpu.utils.runtime import on_tpu
 
         site_ll = site_log_likelihoods_pallas(
-            eig, pi, rates, xmsa_rows, tree["tip_perm"],
-            tree["tip_parent"], tree["tip_length"], tree["edge_child"],
-            tree["edge_parent"], tree["edge_length"], tree["root_slot"],
+            eig, pi, rates, xmsa_rows, tree["sched_src"],
+            tree["sched_penc"], tree["sched_len"], tree["sched_root"],
             n_slots=n_slots,
+            # Safety net: a schedule encoding reaching a CPU session
+            # (forced LINEARHAM_PRUNING_IMPL=pallas) runs interpreted.
+            interpret=not on_tpu(),
         )                                         # [T, X]
     else:
         def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
@@ -484,29 +520,37 @@ class PhyloHMM:
     def init_phylo_emission(self) -> None:
         self._run(sample_key=None)
 
-    def _host_tree(self, tb: TreeBatch) -> dict:
-        """Wire-ready host copies of a tree batch: topology indices as
-        int16 when they fit (slot counts are < 32k for any real family —
-        a 312-seq tree has ~700 slots), halving the dominant transfer
-        bytes of each chunk; phylo_emissions widens them on device."""
-        f = np.dtype(jnp.dtype(self._dtype).name)
-        i = np.int16 if tb.n_slots < 2**15 - 1 else np.int32
-        return {
-            "tip_perm": np.asarray(tb.tip_perm, i),
-            "tip_parent": np.asarray(tb.tip_parent, i),
-            "tip_length": np.asarray(tb.tip_length, f),
-            "edge_child": np.asarray(tb.edge_child, i),
-            "edge_parent": np.asarray(tb.edge_parent, i),
-            "edge_length": np.asarray(tb.edge_length, f),
-            "root_slot": np.asarray(tb.root_slot, i),
-        }
+    def _host_tree(self, tb: TreeBatch):
+        """Wire-ready host copies of a tree batch: (arrays dict, n_slots).
 
-    def _device_tree(self, tb: TreeBatch) -> dict:
+        Encoding follows ensemble_encoding (slot-reuse schedule for the
+        Pallas kernel, TreeBatch arrays for the jnp path); indices ship
+        as int16 when they fit (xMSA row counts and slot counts are
+        < 32k for any real family), halving the dominant transfer bytes
+        of each chunk; phylo_emissions widens them on device."""
+        enc, n_slots = ensemble_encoding(tb, self._dtype)
+        return self._wire_tree(enc), n_slots
+
+    def _wire_tree(self, enc: dict) -> dict:
+        f = np.dtype(jnp.dtype(self._dtype).name)
+        out = {}
+        for k, v in enc.items():
+            v = np.asarray(v)
+            if np.issubdtype(v.dtype, np.floating):
+                out[k] = np.asarray(v, f)
+            elif v.size and v.max() < 2**15 - 1 and v.min() >= -2**15:
+                out[k] = np.asarray(v, np.int16)
+            else:
+                out[k] = np.asarray(v, np.int32)
+        return out
+
+    def _device_tree(self, tb: TreeBatch):
         # One packed put: per-array puts each pay a fixed round trip on
         # remote TPU relays (utils/wire.py).
         from linearham_tpu.utils.wire import device_put_packed
 
-        return device_put_packed(self._host_tree(tb))
+        host, n_slots = self._host_tree(tb)
+        return device_put_packed(host), n_slots
 
     def _ensemble_inputs(self):
         """Replicated GTR/rate inputs for the current single-tree batch."""
@@ -517,16 +561,16 @@ class PhyloHMM:
         pi = jnp.asarray([p.pi] * T, self._dtype)
         rates = jnp.asarray([p.rates] * T, self._dtype)
         eig = gtr_eigen([p.er] * T, [p.pi] * T)
-        return self._device_tree(tb), eig, pi, rates
+        tree, n_slots = self._device_tree(tb)
+        return tree, eig, pi, rates, n_slots
 
     def _run(self, sample_key):
-        tb = self._tree_batch
-        tree, eig, pi, rates = self._ensemble_inputs()
+        tree, eig, pi, rates, n_slots = self._ensemble_inputs()
 
         loglik, xmsa_emission, path = phylo_step_jit(
             self._trans, self._consts, self._xmsa_rows, self._naive_bases,
             tree, eig, pi, rates, sample_key,
-            heavy=self.space.is_heavy, n_slots=tb.n_slots,
+            heavy=self.space.is_heavy, n_slots=n_slots,
         )
         self._loglik = np.asarray(loglik)
         self._xmsa_emission = np.asarray(xmsa_emission)
@@ -555,14 +599,13 @@ class PhyloHMM:
         vmapped FFBS backward walks (the reference's --sample subcommand
         likewise caches the forward pass, src/linearham.cpp:384-386).
         """
-        tb = self._tree_batch
-        tree, eig, pi, rates = self._ensemble_inputs()
+        tree, eig, pi, rates, n_slots = self._ensemble_inputs()
         heavy = self.space.is_heavy
 
         emis, site_ll = phylo_emissions_jit(
             self._consts, self._xmsa_rows, self._naive_bases,
             tree, eig, pi, rates,
-            heavy=heavy, n_slots=tb.n_slots,
+            heavy=heavy, n_slots=n_slots,
         )
         loglik, cache = forward_jit(self._trans, emis, heavy=heavy)
         self._loglik = np.asarray(loglik)
@@ -577,12 +620,11 @@ class PhyloHMM:
 
     def map_annotation(self) -> Annotation:
         """The MAP (Viterbi) V(D)J annotation under the current tree."""
-        tb = self._tree_batch
-        tree, eig, pi, rates = self._ensemble_inputs()
+        tree, eig, pi, rates, n_slots = self._ensemble_inputs()
         score, path = phylo_map_step_jit(
             self._trans, self._consts, self._xmsa_rows, self._naive_bases,
             tree, eig, pi, rates,
-            heavy=self.space.is_heavy, n_slots=tb.n_slots,
+            heavy=self.space.is_heavy, n_slots=n_slots,
         )
         self.map_score = float(np.asarray(score)[0])
         return self._decode(jax.tree.map(np.asarray, path), 0)

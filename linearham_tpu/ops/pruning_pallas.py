@@ -4,45 +4,53 @@ Drop-in accelerated implementation of ``ops.pruning.site_log_likelihoods``
 batched over trees (reference boundary: libpll TraversalUpdate +
 per-site LogLikelihood, src/PhyloHMM.cpp:220-238).
 
-Why a kernel: the XLA version carries the full partials tensor
-[T, slots, R, 4, X] (~600MB at production batch sizes) through a
+Why a kernel: the XLA version carries the full partials tensor through a
 ``lax.scan`` whose every step gathers a child slice and scatter-updates a
 parent slice; batched gather/scatter round-trips HBM and dominates the
-pipeline (measured 27ms of a 27ms step at T=1024, X=863 on v5e).  Here each
-tree's partials live entirely in VMEM scratch ([slots, R, 4, Xb]), the
-topology and branch lengths arrive as scalar-prefetched SMEM arrays (the
-only memory space with free dynamic indexing), and the only HBM traffic is
-the tip codes in and the per-site log-likelihoods out.
+pipeline (measured 27ms of a 27ms step at T=1024, X=863 on v5e).  Here
+each tree's live partials sit in a small VMEM scratch, the schedule
+arrives as scalar-prefetched SMEM tables (the only memory space with free
+dynamic indexing), and the only HBM traffic is the tip codes in and the
+per-site log-likelihoods out.
 
-Scaling to production family sizes: the xMSA site axis is the lane
-dimension, blocked to Xb columns so the partials scratch fits VMEM for
-arbitrarily deep trees (a 312-sequence clonal family has ~311 internal
-slots; sites are independent given the tree, so blocks are independent),
-and the tree batch is chunked so the per-tree SMEM topology tables stay
-under the ~1MB SMEM budget.  Tip observations stay in the deduplicated
-[n_rows, X] xMSA form, shared across the whole tree batch; each tree's
-tip rows resolve inside the kernel through the scalar-prefetched tip
-permutation, so the [T, n_tips, X] gathered tensor (~150MB of HBM traffic
-per step at production batch sizes) never exists.
+The input is a *slot-reuse schedule* (io/schedule.py): one flat entry
+list per tree in a post order where each node's heaviest subtree is
+evaluated first.  A first-write flag stores a message into its parent
+slot (fresh slot, or the in-place transform of a node's first internal
+child); later messages multiply in, and a consumed child's slot is
+recycled.  Peak live slots is ~log2(n_tips), so the partials scratch
+[n_slots, R, 4, Xb] stays tiny at ANY family depth and the site-block
+width Xb covers a 312-sequence family's whole ~1k-column xMSA in ONE
+serial pass over the topology — the round-4 one-slot-per-internal-node
+layout needed 313 slots, which forced Xb=256 under the ~16MB scoped-VMEM
+cap, i.e. 4 topology passes plus a 313-iteration per-slot renorm loop
+(the measured throughput ceiling at the reference's CI depth,
+PERF_r04_312seq.json).  The first-write flags also delete the whole-
+scratch ones-initialization.
+
+Tip observations stay in the deduplicated [n_rows, X] xMSA form, shared
+across the whole tree batch; tip entries resolve their row inside the
+kernel through the scalar-prefetched schedule, so the [T, n_tips, X]
+gathered tensor (~150MB of HBM traffic per step at production batch
+sizes) never exists.
 
 Per-edge transition matrices ARE formed — but as tiny [R, 4, 4] tensors,
 not per-site ones:
 
     P = max(U @ diag(exp(lam * t * rate)) @ U^-1, 0)
 
-costs a handful of sub-register ops per edge, and then the per-site
+costs a handful of sub-register ops per entry, and then the per-site
 propagation is a single 4-term broadcast-FMA chain
 
     msg[r, i, x] = sum_j P[r, i, j] * p[r, j, x]
 
-(16 R*Xb FLOPs/edge vs 36 for the factored two-contraction form; pure VPU
-work — a 4x4 contraction would waste a padded 128x128 MXU pass).  Clamping
-P itself at 0 also kills eigenbasis-roundoff negatives at the source.
+(16 R*Xb FLOPs/entry vs 36 for the factored two-contraction form; pure
+VPU work — a 4x4 contraction would waste a padded 128x128 MXU pass).
+Clamping P itself at 0 also kills eigenbasis-roundoff negatives at the
+source.
 
-All trees in a batch share the tip label set (TreeBatch contract,
-io/newick.py); padded edges point child and parent at the sink slot with
-length 0, making them exact no-ops here (expd = 1, sink partial stays 1,
-renorm max = 1, log-scale += 0).
+Batch-padding entries re-store a one-hot into the sink slot with branch
+length 0: exact no-ops whose renormalization factor is exactly 1.
 """
 
 from __future__ import annotations
@@ -60,7 +68,9 @@ from jax.experimental.pallas import tpu as pltpu
 # v5e VMEM is 128MB, but XLA enforces a ~16MB SCOPED vmem stack limit per
 # kernel (measured on hardware: a 17.17MB allocation at 312-seq depth was
 # rejected with "limit 16.00M"); budget 15MB so the largest production
-# shapes compile while leaving slack for the in/out blocks.
+# shapes compile while leaving slack for the in/out blocks.  With slot
+# reuse the partials scratch is ~1MB even at extreme depth; the shared
+# xMSA codes block is now the dominant per-column term.
 _SCRATCH_BYTES = 15 * 1024 * 1024
 # Budget for the scalar-prefetched SMEM tables; the tree chunk shrinks
 # to fit (hardware SMEM is ~1MB).
@@ -74,16 +84,13 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(
     # scalar prefetch (SMEM); packed into two arrays because SMEM pads
     # each array's minor dimension to 128 lanes.
-    topo_ref,         # [2*n_tips + 2E + 1, Tc] int32: rows = [tip_parent
-                      # (n_tips) | tip_perm (n_tips) | edge_child (E) |
-                      # edge_parent (E) | root]
-    lengths_ref,      # [n_tips + E, Tc] f32 branch lengths
+    topo_ref,         # [2N + 1, Tc] int32: rows = [src (N) | penc (N) |
+                      # root]; penc = parent_slot*4 + first*2 + is_tip
+    lengths_ref,      # [N, Tc] f32 branch lengths
     # VMEM blocks
     codes_ref,        # [n_rows, 1, Xb] int32 (xMSA rows, SHARED across
-                      # trees; per-tree tip rows resolve through the
-                      # scalar-prefetched tip_perm -- the [T, n_tips, X]
-                      # gathered tensor this replaces was ~150MB of HBM
-                      # traffic per step at T=4096)
+                      # trees; tip entries resolve rows through the
+                      # scalar-prefetched schedule)
     u_ref,            # [TB, 4, 4] f32
     uinv_ref,         # [TB, 4, 4] f32
     lam_ref,          # [TB, 4] f32
@@ -91,13 +98,11 @@ def _kernel(
     pi_ref,           # [TB, 4] f32
     out_ref,          # [TB, Xb] f32
     # scratch
-    partials,         # VMEM [slots, R, 4, Xb] f32
+    partials,         # VMEM [n_slots, R, 4, Xb] f32 (live partials only)
     scale,            # VMEM [R, Xb] f32
     *,
     trees_per_block: int,
-    n_tips: int,
-    n_edges: int,
-    n_slots: int,
+    n_entries: int,
     n_rates: int,
     unroll: bool,
     renorm_stride: int,
@@ -123,7 +128,7 @@ def _kernel(
     for tb in range(trees_per_block):
         t = prog * trees_per_block + tb
         # Rank-1 eigen factors outer[k][i,j] = u[i,k]*uinv[k,j], built once
-        # per tree; each edge's probability matrix is their expd-weighted
+        # per tree; each entry's probability matrix is their expd-weighted
         # sum — a few sub-register ops, amortized over every site lane.
         outer = [
             (u_ref[tb, :, k:k + 1] * uinv_ref[tb, k:k + 1, :])[None]
@@ -142,75 +147,87 @@ def _kernel(
                 for j in range(4))
             return jnp.maximum(p, 0.0)
 
-        partials[...] = jnp.ones_like(partials)
-
-        # --- tips: messages straight from one-hot leaves ------------------
-        def tip_body(i, _):
-            row = topo_ref[n_tips + i, t]
-            code = codes_ref[pl.ds(row, 1)]                # [1, 1, Xb]
-            pm = pmat(i)
-            # msg[r,i,x] = P[r,i,code[x]]; code >= 4 (N) -> exact ones
-            # (treatAmbiguousAsGap: ambiguous tips contribute nothing).
-            msg = sum(
-                pm[:, :, j:j + 1] * (code == j).astype(jnp.float32)
-                for j in range(4)
-            ) + (code >= 4).astype(jnp.float32)            # [R, 4, Xb]
-            p = topo_ref[i, t]
-            partials[pl.ds(p, 1)] = partials[pl.ds(p, 1)] * msg[None]
-            return 0
-
-        loop(n_tips, tip_body)
-
-        # --- per-slot renormalization after the tip products ---------------
         scale[...] = jnp.zeros_like(scale)
 
-        def slot_body(s, _):
-            normed, logm = renorm(partials[pl.ds(s, 1)][0])
-            partials[pl.ds(s, 1)] = normed[None]
-            scale[...] += logm
-            return 0
-
-        loop(n_slots, slot_body)
-
-        # --- internal edges in post-order ----------------------------------
-        # Renormalization runs on every FOURTH edge only: any residual
-        # un-normalized factor stays inside the updated partial and is
-        # captured exactly by log(lik) at the root, so thinning is an
-        # identity — its only job is keeping f32 partials out of the
-        # subnormal range, and message entries are bounded by 1 (row-
+        # --- unified post-order schedule walk ---------------------------
+        # Every entry applies one branch's message to a parent slot.
+        # Renormalization runs on every renorm_stride-th entry only: any
+        # residual un-normalized factor stays inside the updated partial
+        # and is captured exactly by log(lik) at the root, so thinning is
+        # an identity — its only job is keeping f32 partials out of the
+        # subnormal range, and message entries are bounded by ~1 (row-
         # stochastic P x normalized child), so a few un-renormalized
         # multiplies cannot underflow anything a renormalized chain
-        # wouldn't (even 1e-8-per-edge worst cases stay ~1e6 above the
-        # f32 subnormal floor across 4 edges; the 120-tip f32 bound in
-        # tests/test_precision.py guards the accumulated error).  The
-        # renorm (max+div+log+accumulate) is a large share of an edge
-        # iteration: thinning measured 164.6 -> 148.6 ms per 2048-tree
-        # production-depth step (+10.8%).
-        def edge_body(e, _):
-            c = topo_ref[2 * n_tips + e, t]
-            pnt = topo_ref[2 * n_tips + n_edges + e, t]
-            pc = partials[pl.ds(c, 1)][0]                  # [R, 4, Xb]
-            pm = pmat(n_tips + e)
-            msg = sum(
-                pm[:, :, j:j + 1] * pc[:, j:j + 1, :] for j in range(4))
-            upd = partials[pl.ds(pnt, 1)][0] * msg
+        # wouldn't (the deep-tree f32 bound in tests/test_precision.py
+        # guards the accumulated error).  The renorm (max+div+log+
+        # accumulate) is a large share of an entry: thinning measured
+        # 164.6 -> 148.6 ms per 2048-tree production-depth step (+10.8%).
+        def entry_body(k, _):
+            src = topo_ref[k, t]
+            enc = topo_ref[n_entries + k, t]
+            p = enc >> 2
+            first = (enc >> 1) & 1
+            is_tip = enc & 1
+            pm = pmat(k)
 
-            @pl.when(e % renorm_stride != renorm_stride - 1)
-            def _store_plain():
-                partials[pl.ds(pnt, 1)] = upd[None]
+            def finish(msg):
+                """Store or multiply into the parent slot (first flag),
+                renormalizing on the stride."""
+                def store(upd):
+                    if unroll:   # k static: the stride check folds away
+                        if k % renorm_stride == renorm_stride - 1:
+                            normed, logm = renorm(upd)
+                            partials[pl.ds(p, 1)] = normed[None]
+                            scale[...] += logm
+                        else:
+                            partials[pl.ds(p, 1)] = upd[None]
+                        return
 
-            @pl.when(e % renorm_stride == renorm_stride - 1)
-            def _store_renormed():
-                normed, logm = renorm(upd)
-                partials[pl.ds(pnt, 1)] = normed[None]
-                scale[...] += logm
+                    @pl.when(k % renorm_stride == renorm_stride - 1)
+                    def _store_renormed():
+                        normed, logm = renorm(upd)
+                        partials[pl.ds(p, 1)] = normed[None]
+                        scale[...] += logm
+
+                    @pl.when(k % renorm_stride != renorm_stride - 1)
+                    def _store_plain():
+                        partials[pl.ds(p, 1)] = upd[None]
+
+                @pl.when(first == 1)
+                def _first():
+                    # Fresh slot (or in-place transform: src == p); the
+                    # old content is never read.
+                    store(msg)
+
+                @pl.when(first == 0)
+                def _multiply():
+                    store(partials[pl.ds(p, 1)][0] * msg)
+
+            @pl.when(is_tip == 1)
+            def _tip():
+                code = codes_ref[pl.ds(src, 1)]            # [1, 1, Xb]
+                # msg[r,i,x] = P[r,i,code[x]]; code >= 4 (N) -> exact ones
+                # (treatAmbiguousAsGap: ambiguous tips contribute nothing).
+                msg = sum(
+                    pm[:, :, j:j + 1] * (code == j).astype(jnp.float32)
+                    for j in range(4)
+                ) + (code >= 4).astype(jnp.float32)        # [R, 4, Xb]
+                finish(msg)
+
+            @pl.when(is_tip == 0)
+            def _edge():
+                pc = partials[pl.ds(src, 1)][0]            # [R, 4, Xb]
+                msg = sum(
+                    pm[:, :, j:j + 1] * pc[:, j:j + 1, :]
+                    for j in range(4))
+                finish(msg)
 
             return 0
 
-        loop(n_edges, edge_body)
+        loop(n_entries, entry_body)
 
-        # --- root: stationary mix, rate mix --------------------------------
-        r = topo_ref[2 * n_tips + 2 * n_edges, t]
+        # --- root: stationary mix, rate mix ------------------------------
+        r = topo_ref[2 * n_entries, t]
         root = partials[pl.ds(r, 1)][0]                    # [R, 4, Xb]
         lik = sum(pi_ref[tb, i] * root[:, i, :] for i in range(4))
         per_rate = jnp.log(lik) + scale[...]               # [R, Xb]
@@ -227,13 +244,12 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_tips", "n_edges", "n_slots", "trees_per_block",
-                     "site_block", "unroll", "interpret", "renorm_stride"))
+    static_argnames=("n_slots", "trees_per_block", "site_block", "unroll",
+                     "interpret", "renorm_stride"))
 def _pruning_chunk(
     topo_c, lengths_c, codes, u_c, uinv_c, lam_c, rates_c, pi_c, *,
-    n_tips: int, n_edges: int, n_slots: int, trees_per_block: int,
-    site_block: int, unroll: bool, interpret: bool,
-    renorm_stride: int = 4,
+    n_slots: int, trees_per_block: int, site_block: int, unroll: bool,
+    interpret: bool, renorm_stride: int = 4,
 ):
     """One SMEM-sized tree chunk through the pruning kernel.
 
@@ -248,11 +264,11 @@ def _pruning_chunk(
     n_rows, _, Xp = codes.shape
     R = rates_c.shape[1]
     n_xblocks = Xp // Xb
+    n_entries = lengths_c.shape[0]
 
     kernel = functools.partial(
-        _kernel, trees_per_block=TB, n_tips=n_tips, n_edges=n_edges,
-        n_slots=n_slots, n_rates=R, unroll=unroll,
-        renorm_stride=renorm_stride,
+        _kernel, trees_per_block=TB, n_entries=n_entries, n_rates=R,
+        unroll=unroll, renorm_stride=renorm_stride,
     )
 
     def block(shape, site_axis=None, tree_axis=0):
@@ -298,22 +314,22 @@ def site_log_likelihoods_pallas(
     pi: jnp.ndarray,          # [T, 4]
     rates: jnp.ndarray,       # [T, R]
     row_codes: jnp.ndarray,   # [n_rows, X] int32 xMSA rows (shared)
-    tip_perm: jnp.ndarray,    # [T, n_tips] int32 tip -> xMSA row
-    tip_parent: jnp.ndarray,  # [T, n_tips] int32
-    tip_length: jnp.ndarray,  # [T, n_tips]
-    edge_child: jnp.ndarray,  # [T, E] int32
-    edge_parent: jnp.ndarray, # [T, E] int32
-    edge_length: jnp.ndarray, # [T, E]
-    root_slot: jnp.ndarray,   # [T] int32
+    sched_src: jnp.ndarray,   # [T, N] int32 (xMSA row / live child slot)
+    sched_penc: jnp.ndarray,  # [T, N] int32 parent*4 + first*2 + is_tip
+    sched_len: jnp.ndarray,   # [T, N] branch lengths
+    sched_root: jnp.ndarray,  # [T] int32 live slot of the root partial
     n_slots: int,
     trees_per_block: int = 8,
     interpret: bool = False,
     renorm_stride: int = 4,
 ) -> jnp.ndarray:
-    """Per-site rate-mixed log-likelihoods [T, X] for a padded tree batch."""
-    T, n_tips = tip_perm.shape
+    """Per-site rate-mixed log-likelihoods [T, X] for a scheduled batch.
+
+    Inputs come from io.schedule.build_schedule (slot-reuse schedules);
+    n_slots is the schedule's live-slot count incl. the sink.
+    """
+    T, N = sched_src.shape
     n_rows, X = row_codes.shape
-    E = edge_child.shape[1]
     if rates.shape[1] == 1:
         # R=1 trips a Mosaic limitation ([1,1,1]->[1,4,4] broadcasts in
         # sublanes and lanes at once); duplicating the category is an
@@ -325,19 +341,21 @@ def site_log_likelihoods_pallas(
     TB = trees_per_block
 
     # Site-block width: the largest 128-multiple whose per-tree partials
-    # scratch stays under the cap (deep trees => many slots => narrow
-    # blocks; sites are independent, so blocks are too).
+    # scratch + shared codes block stays under the cap.  With slot reuse
+    # n_slots is ~log2(tips), so Xb covers production xMSAs in one block;
+    # when several blocks are needed they are equalized so the last one
+    # is not a second compiled shape.
     Xp = _round_up(X, 128)
     # bytes/column: partials scratch (4->8 sublane pad) + the shared
     # xMSA-row codes block (1->8 sublane pad).
     per_col = n_slots * R * 8 * 4 + n_rows * 8 * 4
     Xb = max(128, min(Xp, (_SCRATCH_BYTES // per_col) // 128 * 128))
     n_xblocks = -(-Xp // Xb)
+    Xb = _round_up(-(-Xp // n_xblocks), 128)
     Xp = n_xblocks * Xb
 
-    # Tree-chunk size: the SMEM tables are (2*tips+2E+1) int32 +
-    # (tips+E) f32 rows per tree.
-    smem_per_tree = ((2 * n_tips + 2 * E + 1) + (n_tips + E)) * 4
+    # Tree-chunk size: the SMEM tables are (2N+1) int32 + N f32 per tree.
+    smem_per_tree = ((2 * N + 1) + N) * 4
     Tc = max(TB, (_SMEM_BYTES // smem_per_tree) // TB * TB)
     Tp = _round_up(T, TB)
 
@@ -358,32 +376,29 @@ def site_log_likelihoods_pallas(
     lam = pad(eig.lam.astype(f32), Tp)
     rates_p = pad(rates.astype(f32), Tp)
     pi_p = pad(pi.astype(f32), Tp)
-    lengths = pad(
-        jnp.concatenate([tip_length, edge_length], axis=1).astype(f32),
-        Tp).T                                        # [n_tips + E, Tp]
-    topo = pad(
-        jnp.concatenate(
-            [
-                tip_parent.astype(jnp.int32),
-                tip_perm.astype(jnp.int32),
-                edge_child.astype(jnp.int32),
-                edge_parent.astype(jnp.int32),
-                root_slot.astype(jnp.int32)[:, None],
-            ],
-            axis=1,
-        ).T,
-        Tp, axis=1,
-    )                                              # [2*n_tips + 2E + 1, Tp]
+    lengths = pad(sched_len.astype(f32), Tp).T          # [N, Tp]
+    # Batch-padding trees: every entry re-stores a one-hot into the sink
+    # (penc = sink*4 + 2 + 1, length 0) and their root reads slot 0; the
+    # resulting rows are sliced off below.
+    pad_penc = (n_slots - 1) * 4 + 2 + 1
+    topo = jnp.concatenate(
+        [
+            pad(sched_src.astype(jnp.int32), Tp).T,
+            pad(sched_penc.astype(jnp.int32), Tp, fill=pad_penc).T,
+            pad(sched_root.astype(jnp.int32), Tp)[None, :],
+        ],
+        axis=0,
+    )                                                   # [2N + 1, Tp]
 
     def run_chunk(args):
         topo_c, lengths_c, u_c, uinv_c, lam_c, rates_c, pi_c = args
         return _pruning_chunk(
             topo_c, lengths_c, codes, u_c, uinv_c, lam_c, rates_c, pi_c,
-            n_tips=n_tips, n_edges=E, n_slots=n_slots, trees_per_block=TB,
-            site_block=Xb, renorm_stride=renorm_stride,
+            n_slots=n_slots, trees_per_block=TB, site_block=Xb,
+            renorm_stride=renorm_stride,
             # Unrolled post-order loops schedule ~25% faster but the code
             # size scales with tree depth; cap the unroll at small trees.
-            unroll=(n_tips + E) <= 64,
+            unroll=N <= 64,
             interpret=interpret,
         )
 
@@ -395,11 +410,14 @@ def site_log_likelihoods_pallas(
     # equalized (pad the tree axis, then split evenly) so every
     # pallas_call shares ONE compiled (grid, blockspec) shape — a ragged
     # tail chunk would pay a second Mosaic compile (~25 s at production
-    # shapes).  Padded trees carry zeroed tables and are sliced off.
+    # shapes).  Padded trees carry no-op schedules and are sliced off.
     n_chunks = -(-Tp // Tc)
     Tc_eq = _round_up(-(-Tp // n_chunks), TB)
     Tp2 = n_chunks * Tc_eq
     topo = pad(topo, Tp2, axis=1)
+    # (src rows padded with 0 and penc rows with 0 = slot-0 store of a
+    # tip; harmless for never-read padded trees, but keep the sink
+    # convention for uniformity with the first padding pass.)
     lengths = pad(lengths, Tp2, axis=1)
     u, uinv, lam = pad(u, Tp2), pad(uinv, Tp2), pad(lam, Tp2)
     rates_p, pi_p = pad(rates_p, Tp2), pad(pi_p, Tp2)

@@ -131,8 +131,6 @@ def _stack_bucket(tasks: List[FamilyTask], num_rates: int, dtype):
         S2 = maxdim([t["dj"] for t in trans_list], 0)
     X = maxdim(xmsa_list, 1)
     n_msa_rows = maxdim(xmsa_list, 0)
-    n_tips = maxdim([p[0]["tip_perm"] for p in preps], 1)
-    e_max = maxdim([p[0]["edge_child"] for p in preps], 1)
     n_slots = max(p[3] for p in preps)
     sink = n_slots - 1
 
@@ -189,34 +187,63 @@ def _stack_bucket(tasks: List[FamilyTask], num_rates: int, dtype):
         _pad(a, (n_msa_rows, X), 4) for a in xmsa_list])
     naive_bases = np.stack([_pad(a, (X,), 4) for a in naive_list])
 
-    tree = {}
-    for key, fill in (("tip_perm", 0), ("tip_parent", sink),
-                      ("tip_length", 0.0), ("edge_child", sink),
-                      ("edge_parent", sink), ("edge_length", 0.0),
-                      ("root_slot", 0)):
-        arrs = [p[0][key] for p in preps]
-        if key == "root_slot":
-            tree[key] = np.stack(arrs)
-            continue
-        width = n_tips if key.startswith("tip") else e_max
-        padded = []
-        for a, p in zip(arrs, preps):
-            out = _pad(a, (a.shape[0], width), fill)
-            if key == "tip_perm":
-                # Padded tips read a padded (all-N) alignment row.
-                out[:, a.shape[1]:] = n_msa_rows - 1
-            padded.append(out)
-        tree[key] = np.stack(padded)
+    if "sched_src" in preps[0][0]:
+        # Slot-reuse schedule encoding (io/schedule.py): pad every
+        # family's entry list to the bucket maximum and re-point each
+        # family's own padding entries (stores into ITS sink) at the
+        # bucket-wide sink — real entries never reference a sink slot,
+        # so the penc match is unambiguous.
+        N = maxdim([p[0]["sched_src"] for p in preps], 1)
+        srcs, pencs, lens = [], [], []
+        for p in preps:
+            T_f = p[0]["sched_src"].shape[0]
+            own_pad = (p[3] - 1) * 4 + 2 + 1
+            src = _pad(p[0]["sched_src"], (T_f, N), 0)
+            penc = _pad(np.asarray(p[0]["sched_penc"], np.int32),
+                        (T_f, N), -1)
+            penc[penc == own_pad] = -1
+            penc[penc < 0] = sink * 4 + 2 + 1
+            srcs.append(src)
+            pencs.append(penc)
+            lens.append(_pad(p[0]["sched_len"], (T_f, N), 0.0))
+        tree = {
+            "sched_src": np.stack(srcs).astype(np.int16),
+            "sched_penc": np.stack(pencs).astype(np.int16),
+            "sched_len": np.stack(lens),
+            "sched_root": np.stack(
+                [p[0]["sched_root"] for p in preps]).astype(np.int16),
+        }
+    else:
+        n_tips = maxdim([p[0]["tip_perm"] for p in preps], 1)
+        e_max = maxdim([p[0]["edge_child"] for p in preps], 1)
+        tree = {}
+        for key, fill in (("tip_perm", 0), ("tip_parent", sink),
+                          ("tip_length", 0.0), ("edge_child", sink),
+                          ("edge_parent", sink), ("edge_length", 0.0),
+                          ("root_slot", 0)):
+            arrs = [p[0][key] for p in preps]
+            if key == "root_slot":
+                tree[key] = np.stack(arrs)
+                continue
+            width = n_tips if key.startswith("tip") else e_max
+            padded = []
+            for a, p in zip(arrs, preps):
+                out = _pad(a, (a.shape[0], width), fill)
+                if key == "tip_perm":
+                    # Padded tips read a padded (all-N) alignment row.
+                    out[:, a.shape[1]:] = n_msa_rows - 1
+                padded.append(out)
+            tree[key] = np.stack(padded)
 
-    # Re-point per-family sink slots at the batch-wide sink.
-    for f, p in enumerate(preps):
-        own_sink = p[3] - 1
-        if own_sink != sink:
-            for key in ("edge_child", "edge_parent"):
-                body = tree[key][f]
-                body[body == own_sink] = sink
-            tp = tree["tip_parent"][f]
-            tp[tp == own_sink] = sink
+        # Re-point per-family sink slots at the batch-wide sink.
+        for f, p in enumerate(preps):
+            own_sink = p[3] - 1
+            if own_sink != sink:
+                for key in ("edge_child", "edge_parent"):
+                    body = tree[key][f]
+                    body[body == own_sink] = sink
+                tp = tree["tip_parent"][f]
+                tp[tp == own_sink] = sink
 
     eig = jax.tree.map(
         lambda *xs: np.stack(xs), *[p[1] for p in preps])

@@ -50,26 +50,22 @@ def prepare_ensemble(hmm: PhyloHMM, samples: TreeSamples, num_rates: int):
     """Host-side ensemble prep: parse/batch trees, gamma rates, GTR eigen.
 
     Returns (tree_arrays dict, eig (numpy GTREigen), rates [T,R], n_slots).
-    Tree parsing uses the native C++ batch parser when available.
+    Tree parsing uses the native C++ batch parser when available, and the
+    arrays use the encoding phylo_step's pruning backend will consume
+    (slot-reuse schedule for the Pallas kernel, TreeBatch arrays for the
+    jnp path; see models.phylo_hmm.ensemble_encoding).
     """
     from linearham_tpu.io.native import parse_newicks_batch
+    from linearham_tpu.models.phylo_hmm import ensemble_encoding
 
     tb = parse_newicks_batch(samples.newicks, hmm.xmsa.labels)
     if tb is None:
         trees = [parse_newick(nw) for nw in samples.newicks]
         tb = batch_trees(trees, hmm.xmsa.labels)
     rates = gamma_category_rates_batch(samples.alpha, num_rates)
-    tree_arrays = {
-        "tip_perm": tb.tip_perm,
-        "tip_parent": tb.tip_parent,
-        "tip_length": tb.tip_length.astype(np.float64),
-        "edge_child": tb.edge_child,
-        "edge_parent": tb.edge_parent,
-        "edge_length": tb.edge_length.astype(np.float64),
-        "root_slot": tb.root_slot,
-    }
+    tree_arrays, n_slots = ensemble_encoding(tb, hmm._dtype)
     eig = gtr_eigen(samples.er, samples.pi)  # host numpy factors
-    return tree_arrays, eig, rates, tb.n_slots
+    return tree_arrays, eig, rates, n_slots
 
 
 def _drain_chunk(hmm, timer, logliks, paths, start, n_valid, packed_c,
@@ -146,7 +142,10 @@ def run_pipeline_arrays(
             tb_all = batch_trees(
                 [parse_newick(nw) for nw in samples.newicks],
                 hmm.xmsa.labels)
-    n_slots = tb_all.n_slots
+        # Whole-ensemble encoding (wire dtypes applied once): when the
+        # Pallas kernel runs, this is where the slot-reuse schedules are
+        # built (native C++, ~10us/tree); every chunk below just slices.
+        tree_host_all, n_slots = hmm._host_tree(tb_all)
 
     step_statics = dict(heavy=hmm.space.is_heavy, n_slots=n_slots)
 
@@ -165,16 +164,7 @@ def run_pipeline_arrays(
         fill the fixed chunk shape; repeated rows are never drained."""
         idx = np.minimum(np.arange(start, start + chunk_size), T - 1)
         with timer.stage("host_prepare"):
-            tb = TreeBatch(
-                tip_perm=tb_all.tip_perm[idx],
-                tip_parent=tb_all.tip_parent[idx],
-                tip_length=tb_all.tip_length[idx],
-                edge_child=tb_all.edge_child[idx],
-                edge_parent=tb_all.edge_parent[idx],
-                edge_length=tb_all.edge_length[idx],
-                root_slot=tb_all.root_slot[idx],
-                n_slots=n_slots,
-            )
+            tree_host = {k: v[idx] for k, v in tree_host_all.items()}
             eig_np = gtr_eigen(er_all[idx], pi_all[idx])
         with timer.stage("device_transfer"):
             from linearham_tpu.utils.wire import device_put_packed
@@ -182,7 +172,7 @@ def run_pipeline_arrays(
             hmm.place()   # no-op once placed; deferred so ALL host work
             np_dtype = np.dtype(jnp.dtype(dtype).name)  # precedes first
             tree_c, eig_c, pi_c, rates_c = device_put_packed((
-                hmm._host_tree(tb),                     # device contact
+                tree_host,                              # device contact
                 jax.tree.map(
                     lambda a: np.asarray(a, np_dtype), eig_np),
                 np.asarray(pi_all[idx], np_dtype),

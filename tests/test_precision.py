@@ -88,14 +88,25 @@ def test_f32_kernel_deep_tree_error_bound():
         t64["tip_length"], t64["edge_child"], t64["edge_parent"],
         t64["edge_length"], t64["root_slot"]))
 
-    t32 = {k: to_dtype(jnp.float32)(v) for k, v in tree_arrays.items()}
+    from linearham_tpu.io.newick import TreeBatch
+    from linearham_tpu.io.schedule import build_schedule
+
+    sched = build_schedule(TreeBatch(
+        tip_perm=np.asarray(tree_arrays["tip_perm"]),
+        tip_parent=np.asarray(tree_arrays["tip_parent"]),
+        tip_length=np.asarray(tree_arrays["tip_length"]),
+        edge_child=np.asarray(tree_arrays["edge_child"]),
+        edge_parent=np.asarray(tree_arrays["edge_parent"]),
+        edge_length=np.asarray(tree_arrays["edge_length"]),
+        root_slot=np.asarray(tree_arrays["root_slot"]),
+        n_slots=n_slots,
+    ))
     got32 = np.asarray(site_log_likelihoods_pallas(
         jax.tree.map(to_dtype(jnp.float32), eig),
         to_dtype(jnp.float32)(samples.pi), to_dtype(jnp.float32)(rates),
-        hmm._xmsa_rows, t32["tip_perm"], t32["tip_parent"],
-        t32["tip_length"], t32["edge_child"], t32["edge_parent"],
-        t32["edge_length"], t32["root_slot"], n_slots=n_slots,
-        interpret=True))
+        hmm._xmsa_rows, jnp.asarray(sched.src), jnp.asarray(sched.penc),
+        to_dtype(jnp.float32)(sched.length), jnp.asarray(sched.root),
+        n_slots=sched.n_slots, interpret=True))
 
     diff = np.abs(got32 - want64)
     # Documented deep-tree bounds: per-site partials stay within 2e-3 in

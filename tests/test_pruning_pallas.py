@@ -3,8 +3,9 @@
 The kernel itself runs compiled only on TPU (exercised by bench.py and the
 driver's compile checks); here it runs under the Pallas interpreter against
 ``ops.pruning.site_log_likelihoods`` on a synthetic tree ensemble, so the
-numerics contract (treatAmbiguousAsGap N handling, padded sink edges,
-per-slot renormalization, rate mixing) is pinned on every platform.
+numerics contract (treatAmbiguousAsGap N handling, slot-reuse schedules
+with first-write flags and sink padding, strided renormalization, rate
+mixing) is pinned on every platform.
 """
 
 import jax
@@ -12,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from linearham_tpu.io.newick import TreeBatch
+from linearham_tpu.io.schedule import build_schedule
 from linearham_tpu.models.phylo_hmm import PhyloHMM
 from linearham_tpu.ops.pruning import site_log_likelihoods
 from linearham_tpu.ops.pruning_pallas import site_log_likelihoods_pallas
@@ -19,15 +22,28 @@ from linearham_tpu.pipeline.run import prepare_ensemble
 from linearham_tpu.utils.synth import make_family, make_tree_samples
 
 
-@pytest.fixture(scope="module")
-def ensemble():
-    fam = make_family(n_seqs=5, seed=3)
+def _build(seed, n_seqs, T, num_rates=4, **kw):
+    """(hmm, tree dict, sched args, eig, pi, rates, n_slots) on CPU f32."""
+    fam = make_family(n_seqs=n_seqs, seed=seed, **kw)
     hmm = PhyloHMM.from_parts(
         fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
         fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
     )
-    samples = make_tree_samples(fam, 9, seed=3)   # odd T: exercises padding
-    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 4)
+    samples = make_tree_samples(fam, T, seed=seed)
+    # CPU sessions produce the TreeBatch encoding; the kernel needs the
+    # slot-reuse schedule, so build it explicitly.
+    ta, eig, rates, n_slots = prepare_ensemble(hmm, samples, num_rates)
+    tb = TreeBatch(
+        tip_perm=np.asarray(ta["tip_perm"]),
+        tip_parent=np.asarray(ta["tip_parent"]),
+        tip_length=np.asarray(ta["tip_length"]),
+        edge_child=np.asarray(ta["edge_child"]),
+        edge_parent=np.asarray(ta["edge_parent"]),
+        edge_length=np.asarray(ta["edge_length"]),
+        root_slot=np.asarray(ta["root_slot"]),
+        n_slots=n_slots,
+    )
+    sched = build_schedule(tb)
 
     def to_dev(a):
         a = np.asarray(a)
@@ -35,62 +51,65 @@ def ensemble():
             return jnp.asarray(a, jnp.float32)
         return jnp.asarray(a)
 
-    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
+    tree = {k: to_dev(v) for k, v in ta.items()}
+    sched_args = (to_dev(sched.src), to_dev(sched.penc),
+                  to_dev(sched.length), to_dev(sched.root))
     eig = jax.tree.map(to_dev, eig)
-    return hmm, tree, eig, to_dev(samples.pi), to_dev(rates), n_slots
+    return (hmm, tree, sched_args, eig, to_dev(samples.pi),
+            to_dev(rates), n_slots, sched.n_slots)
 
 
-def test_kernel_matches_jnp_path(ensemble):
-    hmm, tree, eig, pi, rates, n_slots = ensemble
+def _want(hmm, tree, eig, pi, rates, n_slots, rows=None):
+    rows_arr = hmm._xmsa_rows if rows is None else rows
 
     def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
                  eparent, elen, root):
         return site_log_likelihoods(
-            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
+            eig_t, pi_t, rates_t, rows_arr[perm], tparent, tlen,
             echild, eparent, elen, root, n_slots)
 
-    want = jax.vmap(per_tree)(
+    return jax.vmap(per_tree)(
         eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
         tree["tip_length"], tree["edge_child"], tree["edge_parent"],
         tree["edge_length"], tree["root_slot"])
 
-    got = site_log_likelihoods_pallas(
-        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
-        tree["tip_parent"], tree["tip_length"],
-        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
-        tree["root_slot"], n_slots=n_slots, trees_per_block=8,
-        interpret=True)
 
+@pytest.fixture(scope="module")
+def ensemble():
+    return _build(3, 5, 9)   # odd T: exercises tree padding
+
+
+def test_kernel_matches_jnp_path(ensemble):
+    hmm, tree, sched_args, eig, pi, rates, n_slots, s_slots = ensemble
+    want = _want(hmm, tree, eig, pi, rates, n_slots)
+    got = site_log_likelihoods_pallas(
+        eig, pi, rates, hmm._xmsa_rows, *sched_args, n_slots=s_slots,
+        trees_per_block=8, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
 def test_kernel_handles_ambiguous_tips(ensemble):
     """A tip row of all-N must contribute exactly nothing (msg == 1)."""
-    hmm, tree, eig, pi, rates, n_slots = ensemble
-    # Point every tree's tip 0 at a new all-N xMSA row.
+    hmm, tree, sched_args, eig, pi, rates, n_slots, s_slots = ensemble
+    # Point every tree's tip slot 0 at a new all-N xMSA row.  In the
+    # schedule encoding tip rows live in sched_src (is_tip entries); remap
+    # every reference to the original row of tip slot 0.
     n_rows = hmm._xmsa_rows.shape[0]
     rows_n = jnp.concatenate(
         [hmm._xmsa_rows, jnp.full((1, hmm._xmsa_rows.shape[1]), 4,
                                   hmm._xmsa_rows.dtype)], axis=0)
+    src, penc, length, root = sched_args
+    target = tree["tip_perm"][:, 0:1]                     # [T, 1]
+    is_tip = (penc & 1) == 1
+    src_n = jnp.where(is_tip & (src == target), n_rows, src)
+
     perm_n = tree["tip_perm"].at[:, 0].set(n_rows)
-    all_n = jnp.take(rows_n, perm_n, axis=0)
-
-    def per_tree(eig_t, pi_t, rates_t, tips, tparent, tlen, echild,
-                 eparent, elen, root):
-        return site_log_likelihoods(
-            eig_t, pi_t, rates_t, tips, tparent, tlen,
-            echild, eparent, elen, root, n_slots)
-
-    want = jax.vmap(per_tree)(
-        eig, pi, rates, all_n, tree["tip_parent"], tree["tip_length"],
-        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
-        tree["root_slot"])
+    tree_n = dict(tree, tip_perm=perm_n)
+    want = _want(hmm, tree_n, eig, pi, rates, n_slots, rows=rows_n)
     got = site_log_likelihoods_pallas(
-        eig, pi, rates, rows_n, perm_n, tree["tip_parent"],
-        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
-        tree["edge_length"], tree["root_slot"], n_slots=n_slots,
-        interpret=True)
+        eig, pi, rates, rows_n, src_n, penc, length, root,
+        n_slots=s_slots, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
@@ -100,86 +119,33 @@ def test_kernel_blocked_paths_match(monkeypatch):
     body (non-unrolled) must agree with the jnp path."""
     import linearham_tpu.ops.pruning_pallas as pp
 
-    fam = make_family(n_seqs=40, seed=7)   # tips+E > 64 -> fori path
-    hmm = PhyloHMM.from_parts(
-        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
-        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
-    )
-    samples = make_tree_samples(fam, 5, seed=7)
-    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 2)
-
-    def to_dev(a):
-        a = np.asarray(a)
-        if np.issubdtype(a.dtype, np.floating):
-            return jnp.asarray(a, jnp.float32)
-        return jnp.asarray(a)
-
-    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
-    eig = jax.tree.map(to_dev, eig)
-    pi, rates = to_dev(samples.pi), to_dev(rates)
-
-    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
-                 eparent, elen, root):
-        return site_log_likelihoods(
-            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
-            echild, eparent, elen, root, n_slots)
-
-    want = jax.vmap(per_tree)(
-        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
-        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
-        tree["edge_length"], tree["root_slot"])
+    hmm, tree, sched_args, eig, pi, rates, n_slots, s_slots = _build(
+        7, 40, 5, num_rates=2)
+    want = _want(hmm, tree, eig, pi, rates, n_slots)
 
     # Force several site blocks and several tree chunks.
-    monkeypatch.setattr(pp, "_SCRATCH_BYTES", 2 * 1024 * 1024)
+    monkeypatch.setattr(pp, "_SCRATCH_BYTES", 1024 * 1024)
     monkeypatch.setattr(pp, "_SMEM_BYTES", 4 * 1024)
     got = pp.site_log_likelihoods_pallas.__wrapped__(   # skip jit cache
-        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
-        tree["tip_parent"], tree["tip_length"],
-        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
-        tree["root_slot"], n_slots=n_slots, trees_per_block=8,
-        interpret=True)
+        eig, pi, rates, hmm._xmsa_rows, *sched_args, n_slots=s_slots,
+        trees_per_block=8, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
 
 
 def test_kernel_deep_tree_production_width():
     """A 300+-tip family at production xMSA width through the interpreter:
-    pins the site-blocking / SMEM tree-chunking math at the shapes the Liao
-    CH103 dataset produces (VERDICT round-1 item 9)."""
-    fam = make_family(n_seqs=300, seed=13, mutation_rate=0.03)
-    hmm = PhyloHMM.from_parts(
-        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
-        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
-    )
-    samples = make_tree_samples(fam, 1, seed=13)
-    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 4)
+    pins the schedule-driven kernel at the shapes the Liao CH103 dataset
+    produces.  With slot reuse the partials scratch is ~8 slots, so the
+    site block covers the whole xMSA in one pass."""
+    hmm, tree, sched_args, eig, pi, rates, n_slots, s_slots = _build(
+        13, 300, 1, mutation_rate=0.03)
     assert n_slots >= 300 and hmm.xmsa.n_cols >= 700
-
-    def to_dev(a):
-        a = np.asarray(a)
-        if np.issubdtype(a.dtype, np.floating):
-            return jnp.asarray(a, jnp.float32)
-        return jnp.asarray(a)
-
-    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
-    eig = jax.tree.map(to_dev, eig)
-    pi, rates = to_dev(samples.pi), to_dev(rates)
-
-    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
-                 eparent, elen, root):
-        return site_log_likelihoods(
-            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
-            echild, eparent, elen, root, n_slots)
-
-    want = jax.vmap(per_tree)(
-        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
-        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
-        tree["edge_length"], tree["root_slot"])
+    assert s_slots <= 16      # the collapse this kernel design is built on
+    want = _want(hmm, tree, eig, pi, rates, n_slots)
     got = site_log_likelihoods_pallas(
-        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
-        tree["tip_parent"], tree["tip_length"],
-        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
-        tree["root_slot"], n_slots=n_slots, interpret=True)
+        eig, pi, rates, hmm._xmsa_rows, *sched_args, n_slots=s_slots,
+        interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
 
@@ -191,39 +157,12 @@ def test_kernel_deep_tree_production_width():
 def test_kernel_compiled_on_tpu_matches_xla():
     """The COMPILED Mosaic kernel vs the XLA path on device -- catches
     Mosaic regressions the interpreter cannot see."""
-    fam = make_family(n_seqs=8, seed=5)
-    hmm = PhyloHMM.from_parts(
-        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
-        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
-    )
-    samples = make_tree_samples(fam, 16, seed=5)
-    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 4)
-
-    def to_dev(a):
-        a = np.asarray(a)
-        if np.issubdtype(a.dtype, np.floating):
-            return jnp.asarray(a, jnp.float32)
-        return jnp.asarray(a)
-
-    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
-    eig = jax.tree.map(to_dev, eig)
-    pi, rates = to_dev(samples.pi), to_dev(rates)
-
-    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
-                 eparent, elen, root):
-        return site_log_likelihoods(
-            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
-            echild, eparent, elen, root, n_slots)
-
-    want = jax.jit(jax.vmap(per_tree))(
-        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
-        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
-        tree["edge_length"], tree["root_slot"])
+    hmm, tree, sched_args, eig, pi, rates, n_slots, s_slots = _build(
+        5, 8, 16)
+    want = jax.jit(
+        lambda *a: _want(hmm, tree, eig, pi, rates, n_slots))()
     got = site_log_likelihoods_pallas(   # compiled: no interpret flag
-        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
-        tree["tip_parent"], tree["tip_length"],
-        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
-        tree["root_slot"], n_slots=n_slots)
+        eig, pi, rates, hmm._xmsa_rows, *sched_args, n_slots=s_slots)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
 
@@ -231,44 +170,20 @@ def test_kernel_compiled_on_tpu_matches_xla():
 def test_kernel_single_rate_and_zero_branches():
     """R=1 shapes and t=0 edges with conflicting tips (-inf sites) must
     agree with the jnp path."""
-    fam = make_family(n_seqs=4, seed=11)
-    hmm = PhyloHMM.from_parts(
-        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
-        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
-    )
-    samples = make_tree_samples(fam, 3, seed=11)
-    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 1)
-
-    def to_dev(a):
-        a = np.asarray(a)
-        if np.issubdtype(a.dtype, np.floating):
-            return jnp.asarray(a, jnp.float32)
-        return jnp.asarray(a)
-
-    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
+    hmm, tree, sched_args, eig, pi, rates, n_slots, s_slots = _build(
+        11, 4, 3, num_rates=1)
     # Zero every branch: identity transitions, so any site where two tips
     # under a cherry disagree has exactly zero likelihood.
-    tree["tip_length"] = jnp.zeros_like(tree["tip_length"])
-    tree["edge_length"] = jnp.zeros_like(tree["edge_length"])
-    eig = jax.tree.map(to_dev, eig)
-    pi, rates = to_dev(samples.pi), to_dev(rates)
+    tree = dict(tree,
+                tip_length=jnp.zeros_like(tree["tip_length"]),
+                edge_length=jnp.zeros_like(tree["edge_length"]))
+    src, penc, length, root = sched_args
+    sched_args = (src, penc, jnp.zeros_like(length), root)
 
-    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
-                 eparent, elen, root):
-        return site_log_likelihoods(
-            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
-            echild, eparent, elen, root, n_slots)
-
-    want = np.asarray(jax.vmap(per_tree)(
-        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
-        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
-        tree["edge_length"], tree["root_slot"]))
-
+    want = np.asarray(_want(hmm, tree, eig, pi, rates, n_slots))
     got = np.asarray(site_log_likelihoods_pallas(
-        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
-        tree["tip_parent"], tree["tip_length"],
-        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
-        tree["root_slot"], n_slots=n_slots, interpret=True))
+        eig, pi, rates, hmm._xmsa_rows, *sched_args, n_slots=s_slots,
+        interpret=True))
 
     assert np.isneginf(want).any()          # the scenario actually fires
     # Whether an impossible site lands at exactly -inf or at log of the
@@ -288,55 +203,23 @@ def test_kernel_tree_chunks_are_equal_shape(monkeypatch):
     matches the jnp path including the ragged final chunk."""
     import linearham_tpu.ops.pruning_pallas as pp
 
-    fam = make_family(n_seqs=6, seed=5)
-    hmm = PhyloHMM.from_parts(
-        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
-        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
-    )
-    T = 21  # pads to 24; with Tc forced to 8 -> 3 equal chunks
-    samples = make_tree_samples(fam, T, seed=5)
-    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 2)
+    # T=21 pads to 24; with Tc forced to 8 -> 3 equal chunks.
+    hmm, tree, sched_args, eig, pi, rates, n_slots, s_slots = _build(
+        5, 6, 21, num_rates=2)
+    want = _want(hmm, tree, eig, pi, rates, n_slots)
 
-    def to_dev(a):
-        a = np.asarray(a)
-        if np.issubdtype(a.dtype, np.floating):
-            return jnp.asarray(a, jnp.float32)
-        return jnp.asarray(a)
-
-    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
-    eig = jax.tree.map(to_dev, eig)
-    pi, rates = to_dev(samples.pi), to_dev(rates)
-
-    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
-                 eparent, elen, root):
-        return site_log_likelihoods(
-            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
-            echild, eparent, elen, root, n_slots)
-
-    want = jax.vmap(per_tree)(
-        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
-        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
-        tree["edge_length"], tree["root_slot"])
-
-    # Force Tc down to the trees_per_block floor (8) so Tp=24 -> 3 chunks.
     monkeypatch.setattr(pp, "_SMEM_BYTES", 1)
     calls = []
     orig = pp._pruning_chunk
 
     def spy(topo_c, lengths_c, codes, u_c, *args, **kw):
-        # Record each chunk's (tree, site) output shape; the pallas_call
-        # itself now sits behind a module-level jit (traced once per
-        # shape), so the chunk boundary is the observable.
         calls.append((u_c.shape[0], codes.shape[2]))
         return orig(topo_c, lengths_c, codes, u_c, *args, **kw)
 
     monkeypatch.setattr(pp, "_pruning_chunk", spy)
     got = pp.site_log_likelihoods_pallas.__wrapped__(   # skip jit cache
-        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
-        tree["tip_parent"], tree["tip_length"],
-        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
-        tree["root_slot"], n_slots=n_slots, trees_per_block=8,
-        interpret=True)
+        eig, pi, rates, hmm._xmsa_rows, *sched_args, n_slots=s_slots,
+        trees_per_block=8, interpret=True)
     assert len(calls) == 3
     assert len(set(calls)) == 1, f"chunk shapes differ: {calls}"
     np.testing.assert_allclose(
@@ -353,39 +236,12 @@ def test_kernel_compiled_on_tpu_single_rate():
     sees this); the kernel duplicates the category — an exact identity
     under the final mean-over-categories mix — and must match the XLA
     path on device."""
-    fam = make_family(n_seqs=6, seed=21)
-    hmm = PhyloHMM.from_parts(
-        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
-        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
-    )
-    samples = make_tree_samples(fam, 8, seed=21)
-    tree_arrays, eig, rates, n_slots = prepare_ensemble(hmm, samples, 1)
-
-    def to_dev(a):
-        a = np.asarray(a)
-        if np.issubdtype(a.dtype, np.floating):
-            return jnp.asarray(a, jnp.float32)
-        return jnp.asarray(a)
-
-    tree = {k: to_dev(v) for k, v in tree_arrays.items()}
-    eig = jax.tree.map(to_dev, eig)
-    pi, rates = to_dev(samples.pi), to_dev(rates)
+    hmm, tree, sched_args, eig, pi, rates, n_slots, s_slots = _build(
+        21, 6, 8, num_rates=1)
     assert rates.shape[1] == 1
-
-    def per_tree(eig_t, pi_t, rates_t, perm, tparent, tlen, echild,
-                 eparent, elen, root):
-        return site_log_likelihoods(
-            eig_t, pi_t, rates_t, hmm._xmsa_rows[perm], tparent, tlen,
-            echild, eparent, elen, root, n_slots)
-
-    want = jax.jit(jax.vmap(per_tree))(
-        eig, pi, rates, tree["tip_perm"], tree["tip_parent"],
-        tree["tip_length"], tree["edge_child"], tree["edge_parent"],
-        tree["edge_length"], tree["root_slot"])
+    want = jax.jit(
+        lambda: _want(hmm, tree, eig, pi, rates, n_slots))()
     got = site_log_likelihoods_pallas(   # compiled: no interpret flag
-        eig, pi, rates, hmm._xmsa_rows, tree["tip_perm"],
-        tree["tip_parent"], tree["tip_length"],
-        tree["edge_child"], tree["edge_parent"], tree["edge_length"],
-        tree["root_slot"], n_slots=n_slots)
+        eig, pi, rates, hmm._xmsa_rows, *sched_args, n_slots=s_slots)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
