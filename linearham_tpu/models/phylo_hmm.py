@@ -471,6 +471,12 @@ class PhyloHMM:
         self._xmsa_rows_np = host["xmsa_rows_np"]
         self._naive_bases_np = host["naive_bases_np"]
         self._placed = False
+        # place() may be called concurrently (the pipeline warms the
+        # family-constant transfer on a side thread while the main thread
+        # stages chunk 0); the lock makes the one packed put happen once.
+        import threading
+
+        self._place_lock = threading.Lock()
         if place:
             self.place()
 
@@ -491,14 +497,15 @@ class PhyloHMM:
         dial behind it, and (b) repertoire tasks skip placement entirely
         — bucket stacking reads the host copies only.
         """
-        if not self._placed:
-            from linearham_tpu.utils.wire import device_put_packed
+        with self._place_lock:
+            if not self._placed:
+                from linearham_tpu.utils.wire import device_put_packed
 
-            (self._trans, self._consts, self._xmsa_rows,
-             self._naive_bases) = device_put_packed(
-                (self._trans_np, self._consts_np, self._xmsa_rows_np,
-                 self._naive_bases_np))
-            self._placed = True
+                (self._trans, self._consts, self._xmsa_rows,
+                 self._naive_bases) = device_put_packed(
+                    (self._trans_np, self._consts_np, self._xmsa_rows_np,
+                     self._naive_bases_np))
+                self._placed = True
         return self
 
     # -- single-tree API (mirrors the reference CLI subcommands) ----------

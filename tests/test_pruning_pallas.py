@@ -13,12 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from linearham_tpu.io.newick import TreeBatch
 from linearham_tpu.io.schedule import build_schedule
 from linearham_tpu.models.phylo_hmm import PhyloHMM
 from linearham_tpu.ops.pruning import site_log_likelihoods
 from linearham_tpu.ops.pruning_pallas import site_log_likelihoods_pallas
-from linearham_tpu.pipeline.run import prepare_ensemble
 from linearham_tpu.utils.synth import make_family, make_tree_samples
 
 
@@ -30,19 +28,30 @@ def _build(seed, n_seqs, T, num_rates=4, **kw):
         fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32,
     )
     samples = make_tree_samples(fam, T, seed=seed)
-    # CPU sessions produce the TreeBatch encoding; the kernel needs the
-    # slot-reuse schedule, so build it explicitly.
-    ta, eig, rates, n_slots = prepare_ensemble(hmm, samples, num_rates)
-    tb = TreeBatch(
-        tip_perm=np.asarray(ta["tip_perm"]),
-        tip_parent=np.asarray(ta["tip_parent"]),
-        tip_length=np.asarray(ta["tip_length"]),
-        edge_child=np.asarray(ta["edge_child"]),
-        edge_parent=np.asarray(ta["edge_parent"]),
-        edge_length=np.asarray(ta["edge_length"]),
-        root_slot=np.asarray(ta["root_slot"]),
-        n_slots=n_slots,
-    )
+    # Build BOTH encodings explicitly (prepare_ensemble picks one per
+    # backend): TreeBatch arrays feed the jnp reference path, the
+    # slot-reuse schedule feeds the kernel.
+    from linearham_tpu.io.native import parse_newicks_batch
+    from linearham_tpu.io.newick import batch_trees, parse_newick
+    from linearham_tpu.ops.gtr import (gamma_category_rates_batch,
+                                       gtr_eigen)
+
+    tb = parse_newicks_batch(samples.newicks, hmm.xmsa.labels)
+    if tb is None:
+        tb = batch_trees([parse_newick(nw) for nw in samples.newicks],
+                         hmm.xmsa.labels)
+    n_slots = tb.n_slots
+    ta = {
+        "tip_perm": tb.tip_perm,
+        "tip_parent": tb.tip_parent,
+        "tip_length": np.asarray(tb.tip_length, np.float64),
+        "edge_child": tb.edge_child,
+        "edge_parent": tb.edge_parent,
+        "edge_length": np.asarray(tb.edge_length, np.float64),
+        "root_slot": tb.root_slot,
+    }
+    rates = gamma_category_rates_batch(samples.alpha, num_rates)
+    eig = gtr_eigen(samples.er, samples.pi)
     sched = build_schedule(tb)
 
     def to_dev(a):
