@@ -83,6 +83,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "amortize dispatch overhead; default 256)")
 
     p = sub.add_parser(
+        "repertoire",
+        help="run MANY families' pipelines as one batched device "
+             "workload (families are bucketed, padded, stacked, and "
+             "vmapped; the fixed per-process cost is paid once instead "
+             "of once per family — the fast path for the reference's "
+             "default ~1000-tree ensembles)")
+    p.add_argument("--families", required=True,
+                   help="manifest TSV, one family per line: "
+                        "yaml_path<TAB>cluster_ind<TAB>trees_tsv<TAB>"
+                        "output_tsv ('#' comments allowed)")
+    p.add_argument("--hmm-param-dir", required=True,
+                   help="directory of partis HMM germline parameter files")
+    p.add_argument("--seed", type=int, default=0, help="RNG seed")
+    p.add_argument("--num-rates", type=int, default=4,
+                   help="number of gamma rate categories")
+    p.add_argument("--precision", choices=["f32", "f64", "auto"],
+                   default="auto")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage wall-clock timings to stderr")
+
+    p = sub.add_parser(
         "warmup",
         help="pre-bake the family/executable/compile caches for a "
              "family + ensemble shape (a later pipeline run starts "
@@ -141,6 +162,50 @@ def main(argv=None) -> int:
                                   args.alpha, args.num_rates)
         for ann in hmm.sample_annotations(args.N):
             print(ann.naive_seq)
+    elif args.subcommand == "repertoire":
+        import time
+
+        from linearham_tpu.io.trees_tsv import load_tree_samples
+        from linearham_tpu.parallel.repertoire import (FamilyTask,
+                                                       run_repertoire,
+                                                       write_family_output)
+
+        t0 = time.perf_counter()
+        rows = []
+        with open(args.families) as fh:
+            for ln in fh:
+                ln = ln.strip()
+                if not ln or ln.startswith("#"):
+                    continue
+                parts = ln.split("\t")
+                if len(parts) != 4:
+                    raise SystemExit(
+                        f"error: manifest line needs 4 tab-separated "
+                        f"fields (yaml, cluster_ind, trees, out): {ln!r}")
+                rows.append((parts[0], int(parts[1]), parts[2], parts[3]))
+        if not rows:
+            raise SystemExit("error: empty family manifest")
+        tasks = [
+            FamilyTask(
+                hmm=cached_phylo_hmm(yaml, ci, args.hmm_param_dir,
+                                     seed=args.seed, dtype=dtype,
+                                     place=False),
+                samples=load_tree_samples(trees))
+            for yaml, ci, trees, _ in rows
+        ]
+        timings: dict = {}
+        results = run_repertoire(tasks, num_rates=args.num_rates,
+                                 seed=args.seed, dtype=dtype,
+                                 timings=timings)
+        for (_, _, _, out_path), task, res in zip(rows, tasks, results):
+            write_family_output(task, res, args.num_rates, out_path)
+        wall = time.perf_counter() - t0
+        total = sum(t.samples.n_samples for t in tasks)
+        if args.profile:
+            for k, v in timings.items():
+                print(f"#   {k}: {v * 1e3:.1f}ms", file=sys.stderr)
+        print(f"repertoire ok: {len(tasks)} families, {total} trees in "
+              f"{wall:.2f}s ({total / wall:.1f} trees/s aggregate)")
     elif args.subcommand == "warmup":
         import threading
         import time

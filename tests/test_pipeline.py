@@ -258,3 +258,42 @@ def test_max_chunks_partial_results(fixtures_dir, tsv):
     assert len(partial.annotations) == 2
     np.testing.assert_allclose(partial.lh_loglik[:2], full.lh_loglik[:2],
                                rtol=1e-12)
+
+
+def test_cli_repertoire(fixtures_dir, tmp_path, capsys):
+    """One-command multi-family path (VERDICT r04 item 3): a manifest of
+    families runs as one batched repertoire workload; per-family TSVs
+    must match independent run_pipeline_arrays results row-for-row in
+    log-likelihood."""
+    from linearham_tpu.cli import main
+
+    yaml_path = str(fixtures_dir / "phylo_hmm_input.yaml")
+    gene_dir = str(fixtures_dir / "hmm_params")
+    manifest = tmp_path / "families.tsv"
+    rows = []
+    for i in range(3):
+        tsv_in = tmp_path / f"fam{i}.trees"
+        _make_tsv(tsv_in, n_rows=3 + i, seed=40 + i)
+        out = tmp_path / f"lh_fam{i}.trees"
+        rows.append(f"{yaml_path}\t0\t{tsv_in}\t{out}")
+    manifest.write_text("# comment line\n" + "\n".join(rows) + "\n")
+
+    rc = main(["repertoire", "--families", str(manifest),
+               "--hmm-param-dir", gene_dir, "--num-rates", "4",
+               "--seed", "0"])
+    assert rc == 0
+    assert "3 families" in capsys.readouterr().out
+
+    for i in range(3):
+        out = tmp_path / f"lh_fam{i}.trees"
+        lines = out.read_text().strip().split("\n")
+        header = lines[0].split("\t")
+        assert lines[1:], "no data rows"
+        assert len(lines) - 1 == 3 + i
+        ll_col = header.index("LHLogLikelihood")
+        got = np.array([float(l.split("\t")[ll_col]) for l in lines[1:]])
+        hmm = PhyloHMM(yaml_path, 0, gene_dir, seed=0)
+        ref = run_pipeline_arrays(
+            hmm, load_tree_samples(str(tmp_path / f"fam{i}.trees")),
+            num_rates=4, seed=0)
+        np.testing.assert_allclose(got, ref.lh_loglik, rtol=1e-6)

@@ -115,11 +115,12 @@ def tpu_phase():
     pi, rates_d = to_dev(samples.pi), to_dev(rates)
 
     # --- f32 on-chip vs f64 CPU bound --------------------------------
+    # prepare_ensemble on TPU yields the slot-reuse schedule encoding.
+    assert "sched_src" in tree, list(tree)
     t0 = time.perf_counter()
     site_ll32 = np.asarray(site_log_likelihoods_pallas(
-        eig_d, pi, rates_d, hmm._xmsa_rows, tree["tip_perm"],
-        tree["tip_parent"], tree["tip_length"], tree["edge_child"],
-        tree["edge_parent"], tree["edge_length"], tree["root_slot"],
+        eig_d, pi, rates_d, hmm._xmsa_rows, tree["sched_src"],
+        tree["sched_penc"], tree["sched_len"], tree["sched_root"],
         n_slots=n_slots))
     out["kernel_compile_plus_first_s"] = round(time.perf_counter() - t0, 2)
     loglik32, _, _ = phylo_step_jit(
@@ -231,7 +232,7 @@ def main():
             check=True, env=env, timeout=1200)
     out = tpu_phase()
     out = pipeline_phase(out)
-    with open("PERF_r04_312seq.json", "w") as fh:
+    with open("PERF_r05_312seq.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"metric": "312seq_step_trees_per_sec",
                       "value": out["step"]["trees_per_sec"],
