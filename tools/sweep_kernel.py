@@ -47,9 +47,11 @@ def main():
     eig_d = jax.tree.map(to_dev, eig)
     pi, rates_d = to_dev(samples.pi), to_dev(rates)
 
+    # prepare_ensemble on TPU yields the slot-reuse schedule encoding.
+    assert "sched_src" in tree, list(tree)
     # Slightly perturbed branch lengths per chain step so XLA cannot CSE
     # the chained dispatches.
-    els = [to_dev(np.asarray(tree_arrays["edge_length"]) * (1 + 1e-6 * k))
+    els = [to_dev(np.asarray(tree_arrays["sched_len"]) * (1 + 1e-6 * k))
            for k in range(K)]
 
     configs = json.loads(os.environ.get(
@@ -60,10 +62,9 @@ def main():
     for TB, stride in configs:
         def call(el):
             return site_log_likelihoods_pallas(
-                eig_d, pi, rates_d, hmm._xmsa_rows, tree["tip_perm"],
-                tree["tip_parent"], tree["tip_length"],
-                tree["edge_child"], tree["edge_parent"], el,
-                tree["root_slot"], n_slots=n_slots, trees_per_block=TB,
+                eig_d, pi, rates_d, hmm._xmsa_rows, tree["sched_src"],
+                tree["sched_penc"], el, tree["sched_root"],
+                n_slots=n_slots, trees_per_block=TB,
                 renorm_stride=stride)
 
         t0 = time.perf_counter()
