@@ -154,6 +154,16 @@ def region_emissions(site_loglik: jnp.ndarray, consts: dict,
 
     Pure matmuls against host-precomputed one-hot maps (see
     _gather_consts); -inf sites are capped first so 0 * -inf never occurs.
+
+    Precision HIGHEST is load-bearing: at a 312-seq family's depth the
+    site log-likelihoods are ~-26 each and a germline region sums
+    hundreds of them.  TPU DEFAULT matmul precision rounds the f32
+    operands to bf16 (8 mantissa bits -> up to ~0.06 absolute per site),
+    which random-walks to a per-tree log-likelihood error of several
+    units — directly distorting the softmax importance weights the
+    bootstrap consumes (measured: centered |dloglik| std 2.37 at 1024
+    trees before this fix; see PERF_r05_f32_weights.json).  The full-f32
+    passes cost ~ms against the pruning kernel's budget.
     """
     emis = {}
     T = site_loglik.shape[0]
@@ -163,7 +173,8 @@ def region_emissions(site_loglik: jnp.ndarray, consts: dict,
     def linear(name):
         # Maps ride the wire as narrow ints (see _gather_consts); the
         # cast to the compute dtype fuses into the matmul.
-        emis[name] = safe @ consts[name]["m"].astype(f)
+        emis[name] = jnp.matmul(safe, consts[name]["m"].astype(f),
+                                precision=jax.lax.Precision.HIGHEST)
 
     def junction(name):
         c = consts[name]
@@ -174,7 +185,9 @@ def region_emissions(site_loglik: jnp.ndarray, consts: dict,
         # kernel's cost on v5e) without shipping the one-hot over the
         # wire.  Dead cells (-1) select column 0 and are masked below.
         oh = (jnp.arange(X, dtype=flat.dtype)[:, None] == flat).astype(f)
-        vals = (safe @ oh).reshape((T,) + c["mask"].shape)
+        vals = jnp.matmul(
+            safe, oh, precision=jax.lax.Precision.HIGHEST,
+        ).reshape((T,) + c["mask"].shape)
         emis[name] = jnp.where(c["mask"][None], vals, -jnp.inf)
 
     linear("vpadding")
@@ -247,7 +260,8 @@ def phylo_emissions(
     naive_oh = (jnp.arange(4)[:, None]
                 == jnp.minimum(naive_bases, 3)[None, :])
     naive_oh = (naive_oh & (naive_bases[None, :] < 4)).astype(site_ll.dtype)
-    site_ll_corr = site_ll - jnp.log(pi) @ naive_oh
+    site_ll_corr = site_ll - jnp.matmul(
+        jnp.log(pi), naive_oh, precision=jax.lax.Precision.HIGHEST)
     return region_emissions(site_ll_corr, consts, heavy), site_ll_corr
 
 

@@ -124,3 +124,46 @@ def test_resolve_dtype_explicit():
     assert resolve_dtype(None) == jnp.float64
     with pytest.raises(ValueError):
         resolve_dtype("bf16")
+
+
+def test_emission_matmuls_use_highest_precision():
+    """Regression guard for the round-5 importance-weight fix: the
+    region-emission contractions sum hundreds of ~-26-magnitude site
+    log-likelihoods, and TPU DEFAULT matmul precision rounds f32
+    operands to bf16 — measured to random-walk per-tree loglik error to
+    several nats at 312-seq depth, directly distorting the softmax
+    importance weights (PERF_r05_f32_weights.json: centered std 2.37
+    before, 0.12 after).  Every dot in region_emissions (and the naive
+    pi-correction) must therefore carry Precision.HIGHEST."""
+    import jax
+
+    from linearham_tpu.models.phylo_hmm import region_emissions
+    from linearham_tpu.models.phylo_hmm import _gather_consts
+
+    fam = make_family(n_seqs=4, seed=2)
+    hmm = PhyloHMM.from_parts(
+        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
+        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float32)
+
+    def f(site_ll):
+        return region_emissions(site_ll, hmm._consts_np, heavy=True)
+
+    jaxpr = jax.make_jaxpr(f)(
+        jnp.zeros((3, hmm.xmsa.n_cols), jnp.float32))
+
+    def dots(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "dot_general":
+                yield eqn
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    yield from dots(sub.jaxpr)
+
+    found = list(dots(jaxpr.jaxpr))
+    assert found, "no dot_general in region_emissions?"
+    for eqn in found:
+        prec = eqn.params.get("precision")
+        assert prec is not None and all(
+            p == jax.lax.Precision.HIGHEST
+            for p in (prec if isinstance(prec, tuple) else (prec,))), (
+            f"emission dot without HIGHEST precision: {eqn}")

@@ -139,14 +139,31 @@ def tpu_phase():
 
     d = ll32 - ll64
     centered = d - d.mean()
-    lw32 = ll32 - samples.rb_loglik
-    lw64 = ll64 - samples.rb_loglik
+    # The synthetic TSV's rb_loglik is unrelated to the HMM loglik, so
+    # lw would span hundreds of nats and ESS degenerates to 1.0 in BOTH
+    # precisions (nothing learned).  In the real workload RevBayes
+    # evaluates (nearly) the same model on the same tree, so the
+    # LogWeight spread across trees is a few nats; emulate that with
+    # rb = loglik_f64 + N(0, 2), fixed seed — then ESS, subsample
+    # overlap, and the posterior actually exercise the softmax.
+    rng = np.random.default_rng(11)
+    rb = ll64 + rng.normal(0.0, 2.0, size=ll64.shape)
+    lw32 = ll32 - rb
+    lw64 = ll64 - rb
     w32, w64 = softmax(lw32), softmax(lw64)
 
     k = max(1, int(round(SUBSAMP_FRAC * len(ll32))))
     sub32 = weighted_subsample_no_replacement(w32, k, seed=7)
     sub64 = weighted_subsample_no_replacement(w64, k, seed=7)
     overlap = len(set(sub32.tolist()) & set(sub64.tolist())) / k
+    # Controls: (a) the subsample's own stochasticity — two f64 draws
+    # with different RNG seeds (any overlap loss f32 adds must be read
+    # against this floor); (b) the deterministic top-k-by-weight sets.
+    sub64b = weighted_subsample_no_replacement(w64, k, seed=8)
+    overlap_ctl = len(set(sub64.tolist()) & set(sub64b.tolist())) / k
+    topk32 = set(np.argsort(w32)[-k:].tolist())
+    topk64 = set(np.argsort(w64)[-k:].tolist())
+    topk_overlap = len(topk32 & topk64) / k
 
     # Weighted naive-sequence posterior: same per-tree sampled
     # annotations (one FFBS draw per tree, f32 device), weights swapped —
@@ -183,6 +200,8 @@ def tpu_phase():
             "ratio": ess(w32) / ess(w64),
         },
         "bootstrap_overlap_frac": overlap,
+        "bootstrap_overlap_control_f64_seed_change": overlap_ctl,
+        "topk_by_weight_overlap": topk_overlap,
         "bootstrap_k": k,
         "naive_posterior_l1": l1,
         "n_unique_naive": len(keys),
