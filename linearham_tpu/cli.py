@@ -104,6 +104,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print per-stage wall-clock timings to stderr")
 
     p = sub.add_parser(
+        "serve",
+        help="long-lived pipeline server: read one JSON request per "
+             "stdin line ({yaml_path, cluster_ind, hmm_param_dir, "
+             "input_path, output_path, num_rates?, seed?, chunk_size?}) "
+             "and run each through the warm process — the backend dial, "
+             "cache loads, and compiled executables are paid once, so "
+             "reference-default (~1000-tree) ensembles run at the "
+             "in-process steady rate (measured ~10x a fresh process on "
+             "remote-relay TPUs; PERF_r05_ensemble_scaling.json)")
+    p.add_argument("--precision", choices=["f32", "f64", "auto"],
+                   default="auto")
+
+    p = sub.add_parser(
         "warmup",
         help="pre-bake the family/executable/compile caches for a "
              "family + ensemble shape (a later pipeline run starts "
@@ -162,6 +175,39 @@ def main(argv=None) -> int:
                                   args.alpha, args.num_rates)
         for ann in hmm.sample_annotations(args.N):
             print(ann.naive_seq)
+    elif args.subcommand == "serve":
+        import json
+        import time
+
+        from linearham_tpu.pipeline.run import run_pipeline
+
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            if line in ("quit", "exit"):
+                break
+            try:
+                req = json.loads(line)
+                t0 = time.perf_counter()
+                result = run_pipeline(
+                    req["yaml_path"], int(req["cluster_ind"]),
+                    req["hmm_param_dir"], req["input_path"],
+                    req["output_path"],
+                    num_rates=int(req.get("num_rates", 4)),
+                    seed=int(req.get("seed", 0)),
+                    chunk_size=int(req.get("chunk_size", 256)),
+                    precision=req.get("precision", args.precision),
+                )
+                print(json.dumps({
+                    "ok": True,
+                    "output_path": req["output_path"],
+                    "n_trees": result.samples.n_samples,
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                }), flush=True)
+            except Exception as exc:  # keep serving after a bad request
+                print(json.dumps({"ok": False, "error": str(exc)}),
+                      flush=True)
     elif args.subcommand == "repertoire":
         import time
 

@@ -297,3 +297,51 @@ def test_cli_repertoire(fixtures_dir, tmp_path, capsys):
             hmm, load_tree_samples(str(tmp_path / f"fam{i}.trees")),
             num_rates=4, seed=0)
         np.testing.assert_allclose(got, ref.lh_loglik, rtol=1e-6)
+
+
+def test_cli_serve(fixtures_dir, tmp_path):
+    """The long-lived server: two JSON requests through one process,
+    each output TSV matching an independent run; a malformed request
+    must not kill the server."""
+    import json
+    import subprocess
+
+    yaml_path = str(fixtures_dir / "phylo_hmm_input.yaml")
+    gene_dir = str(fixtures_dir / "hmm_params")
+    reqs = []
+    for i in range(2):
+        tsv_in = tmp_path / f"srv{i}.trees"
+        _make_tsv(tsv_in, n_rows=3, seed=70 + i)
+        reqs.append({
+            "yaml_path": yaml_path, "cluster_ind": 0,
+            "hmm_param_dir": gene_dir, "input_path": str(tsv_in),
+            "output_path": str(tmp_path / f"srv_out{i}.trees"),
+            "num_rates": 4, "seed": 0,
+        })
+    stdin = "not json\n" + "\n".join(json.dumps(r) for r in reqs) + "\nquit\n"
+    # Pin the server subprocess to CPU/f64 in-process (the container's
+    # sitecustomize overrides JAX_PLATFORMS, same dance as conftest).
+    wrapper = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; from linearham_tpu.cli import main; "
+        "sys.exit(main(['serve']))")
+    proc = subprocess.run(
+        [sys.executable, "-c", wrapper],
+        input=stdin, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    lines = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    assert lines[0]["ok"] is False          # bad request reported, not fatal
+    assert [l["ok"] for l in lines[1:]] == [True, True]
+    for i, req in enumerate(reqs):
+        out = tmp_path / f"srv_out{i}.trees"
+        lines_out = out.read_text().strip().split("\n")
+        assert len(lines_out) - 1 == 3
+        header = lines_out[0].split("\t")
+        ll_col = header.index("LHLogLikelihood")
+        got = np.array([float(l.split("\t")[ll_col])
+                        for l in lines_out[1:]])
+        hmm = PhyloHMM(yaml_path, 0, gene_dir, seed=0)
+        ref = run_pipeline_arrays(
+            hmm, load_tree_samples(req["input_path"]), num_rates=4, seed=0)
+        np.testing.assert_allclose(got, ref.lh_loglik, rtol=1e-6)

@@ -39,35 +39,66 @@ def _family_files(tmp, seed, n_trees, n_seqs=100):
     return gene_dir, yaml_path, trees_path
 
 
-def single_family(tmp, n_trees, reps):
-    from linearham_tpu.pipeline.run import run_pipeline
+def _fresh_run(script, timeout=900):
+    """Run ``script`` in a FRESH python process (the honest unit: a warm
+    start pays the dial + disk-cache loads every time, exactly as a
+    user's repeated invocation does) and return the wall seconds the
+    script prints on its last stdout line.  The wall is measured INSIDE
+    the process around the pipeline call — interpreter + jax import
+    (~1 s, identical for any CLI) excluded, matching the round-4
+    artifact semantics and bench.py.  This orchestrator itself never
+    initializes a TPU client: a parent holding even an idle client
+    measurably congests the relay for its children."""
+    import subprocess
 
+    proc = subprocess.run([sys.executable, "-c", script], check=True,
+                          capture_output=True, text=True, timeout=timeout)
+    return float(proc.stdout.strip().split()[-1])
+
+
+def single_family(tmp, n_trees, reps):
     gene_dir, yaml_path, trees_path = _family_files(tmp, 0, n_trees)
+    # Measured on-chip: small ensembles run fastest with the CLI-default
+    # 256-tree chunks (transfer/step/drain overlap inside the single
+    # second of device work); big ensembles with 4096 (fewer fixed-RTT
+    # drains).
+    chunk = min(n_trees, 4096) if n_trees > 2048 else 256
+
+    def pipeline_script(out_tsv, n_calls):
+        return (
+            "import time\n"
+            "from linearham_tpu.pipeline.run import run_pipeline\n"
+            f"for _ in range({n_calls}):\n"
+            "    t0 = time.perf_counter()\n"
+            f"    run_pipeline({yaml_path!r}, 0, {gene_dir!r}, "
+            f"{trees_path!r}, {out_tsv!r}, num_rates=4, seed=0, "
+            f"chunk_size={chunk})\n"
+            "    print(time.perf_counter() - t0)\n")
+
     runs = []
     for r in range(reps):
         out_tsv = os.path.join(tmp, f"lh_{n_trees}_{r}.trees")
-        t0 = time.perf_counter()
-        result = run_pipeline(yaml_path, 0, gene_dir, trees_path, out_tsv,
-                              num_rates=4, seed=0,
-                              chunk_size=min(n_trees, 4096))
-        wall = time.perf_counter() - t0
-        runs.append({
-            "wall_s": round(wall, 2),
-            "trees_per_sec": round(n_trees / wall, 1),
-            "stages": {k: round(v, 3)
-                       for k, v in (result.timings or {}).items()},
-        })
+        wall = _fresh_run(pipeline_script(out_tsv, 1))
+        assert sum(1 for _ in open(out_tsv)) - 1 == n_trees
+        runs.append({"wall_s": round(wall, 2),
+                     "trees_per_sec": round(n_trees / wall, 1)})
         print(f"# single T={n_trees} rep{r}: {runs[-1]['trees_per_sec']}"
-              f" trees/s", file=sys.stderr, flush=True)
+              f" trees/s (fresh process)", file=sys.stderr, flush=True)
+    # In-process steady-state re-run (no dial, no cache loads): the
+    # software's marginal capability once a long-lived service is warm.
+    out_tsv = os.path.join(tmp, f"lh_{n_trees}_inproc.trees")
+    inproc = _fresh_run(pipeline_script(out_tsv, 2))
+    runs_ip = {"wall_s": round(inproc, 2),
+               "trees_per_sec": round(n_trees / inproc, 1)}
+    print(f"# single T={n_trees} in-process steady: "
+          f"{runs_ip['trees_per_sec']} trees/s", file=sys.stderr,
+          flush=True)
     best = max(runs, key=lambda x: x["trees_per_sec"])
-    return {"n_trees": n_trees, "best": best, "runs": runs}
+    return {"n_trees": n_trees, "best": best, "runs": runs,
+            "in_process_steady": runs_ip}
 
 
 def multi_family(tmp, n_fams, n_trees, reps):
-    import io
-
-    from linearham_tpu.cli import main as cli_main
-
     # One germline set + cluster, n_fams DIFFERENT tree ensembles (the
     # CLI takes one gene dir; synthetic gene sets are seed-dependent).
     # This is a real workload shape — several RevBayes chains over one
@@ -89,18 +120,21 @@ def multi_family(tmp, n_fams, n_trees, reps):
         lines.append(f"{yaml_path}\t0\t{trees_path}\t{out_tsv}")
     with open(manifest, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+    gene_dir0 = os.path.join(tmp, "hmm_params_0")
+    script = (
+        "import time\n"
+        "from linearham_tpu.cli import main\n"
+        "t0 = time.perf_counter()\n"
+        f"assert main(['repertoire', '--families', {manifest!r}, "
+        f"'--hmm-param-dir', {gene_dir0!r}, '--num-rates', '4', "
+        f"'--seed', '0']) == 0\n"
+        "print(time.perf_counter() - t0)\n")
     runs = []
     for r in range(reps):
         for o in outs:
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(o)
-        t0 = time.perf_counter()
-        rc = cli_main([
-            "repertoire", "--families", manifest,
-            "--hmm-param-dir", os.path.join(tmp, "hmm_params_0"),
-            "--num-rates", "4", "--seed", "0"])
-        wall = time.perf_counter() - t0
-        assert rc == 0
+        wall = _fresh_run(script)
         total = n_fams * n_trees
         for o in outs:
             n_rows = sum(1 for _ in open(o)) - 1
@@ -108,8 +142,8 @@ def multi_family(tmp, n_fams, n_trees, reps):
         runs.append({"wall_s": round(wall, 2),
                      "trees_per_sec": round(total / wall, 1)})
         print(f"# repertoire {n_fams}x{n_trees} rep{r}: "
-              f"{runs[-1]['trees_per_sec']} trees/s aggregate",
-              file=sys.stderr, flush=True)
+              f"{runs[-1]['trees_per_sec']} trees/s aggregate "
+              f"(fresh process)", file=sys.stderr, flush=True)
     best = max(runs, key=lambda x: x["trees_per_sec"])
     return {"n_fams": n_fams, "n_trees_per_fam": n_trees, "best": best,
             "runs": runs}
