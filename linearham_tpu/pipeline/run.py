@@ -13,7 +13,7 @@ Output columns match the reference contract exactly
 
 from __future__ import annotations
 
-import os
+
 import re
 from dataclasses import dataclass
 from typing import List, Optional, TextIO
@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from linearham_tpu.io.newick import TreeBatch, batch_trees, parse_newick
+from linearham_tpu.io.newick import batch_trees, parse_newick
 from linearham_tpu.io.trees_tsv import TreeSamples, load_tree_samples
 from linearham_tpu.models.decode import Annotation
 from linearham_tpu.models.phylo_hmm import (PhyloHMM, phylo_step_packed_jit,
