@@ -181,7 +181,17 @@ def run_family_workflow(
     indel_reversed_seqs: bool = True,
     precision: Optional[str] = None,
     template_path: Optional[str] = None,
+    stop_after: Optional[str] = None,
 ) -> None:
+    """Run one family's step chain.
+
+    ``stop_after="revbayes"`` runs only the pre-pipeline steps — the
+    multi-cluster batched workflow (run_repertoire_workflow) uses this
+    to bring every cluster to the pipeline boundary, batches all the
+    pipelines as ONE repertoire device workload, then re-enters this
+    function; the freshness checks then skip the (now fresh) pipeline
+    step and run the post-processing chain.
+    """
     wf = Workflow(outdir)
     write_git_stamp(outdir)
     cluster_yaml = wf.path("cluster.yaml")
@@ -226,6 +236,9 @@ def run_family_workflow(
 
     wf.step("revbayes", [rb_trees], [rev_file], run_revbayes,
             external=True)
+
+    if stop_after == "revbayes":
+        return
 
     from linearham_tpu.pipeline.run import run_pipeline
 
@@ -288,6 +301,80 @@ def run_family_workflow(
             )
 
 
+def run_repertoire_workflow(
+    base_outdir: str,
+    partis_yaml_file: str,
+    hmm_param_dir: str,
+    cluster_indices: List[int],
+    num_rates: int = 4,
+    seed: int = 0,
+    precision: Optional[str] = None,
+    **family_kw,
+) -> None:
+    """The multi-cluster workflow with an auto-batched pipeline stage.
+
+    The reference runs one whole scons invocation per family
+    (SURVEY §2g); here several clusters of one partis output share one
+    process: per-cluster pre-steps (parse-cluster, revbayes-config, the
+    external revbayes artifact) run in ``cluster_<i>/`` subdirectories,
+    then every cluster whose ``lh_revbayes_run.trees`` is stale runs
+    through ONE bucketed/stacked/vmapped repertoire device workload
+    (parallel/repertoire.py) — the per-process fixed cost (backend dial,
+    cache loads, compile) is paid once for the whole set, which is what
+    makes reference-default (~1000-tree) ensembles fast — and finally
+    the per-cluster post-processing chains run, their pipeline steps
+    skipping as fresh.
+    """
+    if len(set(cluster_indices)) != len(cluster_indices):
+        raise ValueError(
+            f"duplicate cluster indices: {cluster_indices} (each cluster "
+            "gets one cluster_<i>/ output directory)")
+    subdirs = [os.path.join(base_outdir, f"cluster_{i}")
+               for i in cluster_indices]
+    for i, sub in zip(cluster_indices, subdirs):
+        run_family_workflow(
+            sub, partis_yaml_file, hmm_param_dir, cluster_index=i,
+            num_rates=num_rates, seed=seed, precision=precision,
+            stop_after="revbayes", **family_kw)
+
+    # Batched pipeline over every stale cluster.
+    stale = []
+    for sub in subdirs:
+        cluster_yaml = os.path.join(sub, "cluster.yaml")
+        rb_trees = os.path.join(sub, "revbayes_run.trees")
+        lh_trees = os.path.join(sub, "lh_revbayes_run.trees")
+        if not _fresh([lh_trees], [rb_trees, cluster_yaml]):
+            stale.append((sub, cluster_yaml, rb_trees, lh_trees))
+    if stale:
+        from linearham_tpu.compiler.family_cache import cached_phylo_hmm
+        from linearham_tpu.io.trees_tsv import load_tree_samples
+        from linearham_tpu.parallel.repertoire import (FamilyTask,
+                                                       run_repertoire,
+                                                       write_family_output)
+        from linearham_tpu.utils.runtime import resolve_dtype
+
+        dtype = resolve_dtype(precision)
+        print(f"[workflow] pipeline: batching {len(stale)} clusters "
+              "through one repertoire workload")
+        tasks = [
+            FamilyTask(
+                hmm=cached_phylo_hmm(cy, 0, hmm_param_dir, seed=seed,
+                                     dtype=dtype, place=False),
+                samples=load_tree_samples(rb))
+            for _, cy, rb, _ in stale
+        ]
+        results = run_repertoire(tasks, num_rates=num_rates, seed=seed,
+                                 dtype=dtype)
+        for (sub, _, _, lh), task, res in zip(stale, tasks, results):
+            write_family_output(task, res, num_rates, lh)
+
+    for i, sub in zip(cluster_indices, subdirs):
+        run_family_workflow(
+            sub, partis_yaml_file, hmm_param_dir, cluster_index=i,
+            num_rates=num_rates, seed=seed, precision=precision,
+            **family_kw)
+
+
 def _int_list(text: str) -> List[int]:
     return [int(x) for x in str(text).split(",")]
 
@@ -345,6 +432,12 @@ def main(argv=None) -> int:
     p.add_argument("--all-clonal-seqs", action="store_true")
     p.add_argument("--hmm-param-dir")
     p.add_argument("--cluster-index", type=int)
+    p.add_argument("--cluster-indices", type=_int_list,
+                   help="comma-separated cluster indices: run SEVERAL "
+                        "clusters of the partis output, auto-batching "
+                        "their pipelines through one repertoire device "
+                        "workload (per-cluster outputs in cluster_<i>/ "
+                        "subdirectories)")
     p.add_argument("--partition-index", type=int)
     p.add_argument("--cluster-seed-unique-id",
                    help="restrict the analysis to this sequence's cluster "
@@ -425,6 +518,29 @@ def main(argv=None) -> int:
         precision=args.precision,
         template_path=args.template_path,
     )
+    if args.cluster_indices:
+        if any(len(v) > 1 for v in grid.values()):
+            raise SystemExit(
+                "error: --cluster-indices does not combine with "
+                "multi-valued MCMC grid parameters; run one grid "
+                "combination per invocation")
+        if args.cluster_index is not None:
+            raise SystemExit(
+                "error: give --cluster-index or --cluster-indices, "
+                "not both")
+        params = {k: v[0] for k, v in grid.items()}
+        family_kw = dict(fixed)
+        for k in ("partis_yaml_file", "hmm_param_dir", "cluster_index",
+                  "precision"):
+            family_kw.pop(k)
+        run_repertoire_workflow(
+            args.outdir, partis_yaml, hmm_param_dir,
+            args.cluster_indices,
+            num_rates=params.pop("num_rates"),
+            seed=params.pop("seed"),
+            precision=args.precision,
+            **params, **family_kw)
+        return 0
     run_workflow_grid(args.outdir, grid, fixed,
                       nestly_subdirs=not args.no_nestly_subdirs)
     return 0

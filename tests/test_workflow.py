@@ -138,3 +138,92 @@ def test_grid_flat_layout(tmp_path, monkeypatch):
     seen.clear()
     wf.run_workflow_grid(str(tmp_path), {"mcmc_iter": [10]}, {})
     assert seen == [str(tmp_path)]
+
+
+def test_repertoire_workflow_batches_pipeline(fixtures_dir, tmp_path,
+                                              capsys):
+    """--cluster-indices: several clusters' pre-steps run per subdir, the
+    pipeline stage batches every stale cluster through ONE repertoire
+    device workload, post-processing runs per cluster, and a second
+    invocation is fully up to date (VERDICT r04 item 3's workflow-level
+    auto-batching)."""
+    import numpy as np
+
+    from linearham_tpu.io.trees_tsv import load_tree_samples
+    from linearham_tpu.models.phylo_hmm import PhyloHMM
+    from linearham_tpu.pipeline.run import run_pipeline_arrays
+    from linearham_tpu.workflow import run_repertoire_workflow
+
+    import yaml as _yaml
+
+    import re
+
+    base = tmp_path / "multi"
+    for i in range(2):
+        d = base / f"cluster_{i}"
+        d.mkdir(parents=True)
+        tsv = d / "revbayes_run.trees"
+        _make_tsv(tsv, n_rows=4 + i, seed=80 + i)
+        if i == 1:
+            # cluster 1's member ids carry a _b suffix (below); its tree
+            # tip labels must match.
+            txt = re.sub(r"([(,])([012]):", r"\1\2_b:", tsv.read_text())
+            tsv.write_text(txt)
+
+    # The fixture partis yaml has one event; duplicate it (with renamed
+    # ids) plus a partition so the output genuinely contains TWO
+    # clusters to select by index.
+    doc = _yaml.safe_load(
+        (fixtures_dir / "phylo_hmm_input.yaml").read_text())
+    ev2 = dict(doc["events"][0])
+    ev2["unique_ids"] = [f"{u}_b" for u in ev2["unique_ids"]]
+    doc["events"] = [doc["events"][0], ev2]
+    doc["partitions"] = [{
+        "logprob": 0.0,
+        "partition": [list(doc["events"][0]["unique_ids"]),
+                      list(ev2["unique_ids"])],
+    }]
+    two_yaml = tmp_path / "partis_two_clusters.yaml"
+    two_yaml.write_text(_yaml.safe_dump(doc))
+
+    run_repertoire_workflow(
+        str(base),
+        partis_yaml_file=str(two_yaml),
+        hmm_param_dir=str(fixtures_dir / "hmm_params"),
+        cluster_indices=[0, 1],
+        num_rates=4, seed=0,
+    )
+    out = capsys.readouterr().out
+    assert "batching 2 clusters" in out
+
+    for i in range(2):
+        d = base / f"cluster_{i}"
+        for name in ("cluster.yaml", "lh_revbayes_run.trees",
+                     "linearham_run.trees", "linearham_run.ess",
+                     "aa_naive_seqs.fasta",
+                     "linearham_annotations_best.yaml"):
+            assert (d / name).exists(), (i, name)
+        # Batched pipeline rows == an independent single-family run.
+        lines = (d / "lh_revbayes_run.trees").read_text().strip().split(
+            "\n")
+        header = lines[0].split("\t")
+        ll_col = header.index("LHLogLikelihood")
+        got = np.array([float(l.split("\t")[ll_col]) for l in lines[1:]])
+        hmm = PhyloHMM(str(d / "cluster.yaml"), 0,
+                       str(fixtures_dir / "hmm_params"), seed=0)
+        ref = run_pipeline_arrays(
+            hmm, load_tree_samples(str(d / "revbayes_run.trees")),
+            num_rates=4, seed=0)
+        np.testing.assert_allclose(got, ref.lh_loglik, rtol=1e-6)
+
+    # Second invocation: nothing stale, nothing re-batched.
+    run_repertoire_workflow(
+        str(base),
+        partis_yaml_file=str(two_yaml),
+        hmm_param_dir=str(fixtures_dir / "hmm_params"),
+        cluster_indices=[0, 1],
+        num_rates=4, seed=0,
+    )
+    out = capsys.readouterr().out
+    assert "batching" not in out
+    assert "running" not in out
