@@ -164,3 +164,60 @@ def test_schedule_invariants():
         assert root in written
         n_edges = int(tb.root_slot[t])   # post-order: root = edge count
         assert n_real == n_tips + n_edges
+
+
+def test_schedule_polytomies_and_caterpillar():
+    """Non-binary topologies: a star (one internal node, all tips), a
+    polytomy mixed with nesting, and a pectinate caterpillar all build
+    valid slot-reuse schedules whose execution matches the XLA path.
+    The caterpillar also pins the slot-reuse claim: peak stays tiny even
+    when the tree is maximally deep."""
+    from linearham_tpu.io.native import build_schedule_batch_native
+    from linearham_tpu.io.newick import batch_trees, parse_newick
+    from linearham_tpu.models.phylo_hmm import PhyloHMM
+    from linearham_tpu.utils.synth import make_family
+
+    fam = make_family(n_seqs=6, seed=9)
+    hmm = PhyloHMM.from_parts(
+        fam.locus, fam.flexbounds, fam.relpos, fam.genes, fam.msa,
+        fam.unique_ids, fam.n_sites, seed=0, dtype=jnp.float64)
+    labels = ["naive"] + list(fam.unique_ids)  # 7 tips
+    t = {lab: f"{lab}:0.{i + 1}" for i, lab in enumerate(labels)}
+    star = "(" + ",".join(t[lab] for lab in labels) + ");"
+    mixed = (f"(({t[labels[0]]},{t[labels[1]]},{t[labels[2]]}):0.3,"
+             f"{t[labels[3]]},({t[labels[4]]},{t[labels[5]]},"
+             f"{t[labels[6]]}):0.2);")
+    cat = t[labels[0]]
+    for lab in labels[1:]:
+        cat = f"({cat},{t[lab]}):0.15"
+    cat += ";"
+
+    tb = batch_trees([parse_newick(nw) for nw in (star, mixed, cat)],
+                     labels)
+    for builder in (build_schedule_python, build_schedule_batch_native):
+        sched = builder(tb)
+        assert sched is not None
+        assert sched.n_slots == 8   # caterpillar depth 6 still ~2 live
+        rows = np.asarray(hmm._xmsa_rows)
+        rng = np.random.default_rng(0)
+        pi = rng.dirichlet([5] * 4)
+        er = rng.uniform(0.5, 2.0, 6)
+        from linearham_tpu.ops.gtr import gtr_eigen
+        eig = gtr_eigen(er, pi)
+        rates = np.array([0.5, 1.0, 1.5, 1.0])
+        for t_i in range(3):
+            want = np.asarray(site_log_likelihoods(
+                jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), eig),
+                jnp.asarray(pi), jnp.asarray(rates),
+                jnp.asarray(rows[tb.tip_perm[t_i]]),
+                jnp.asarray(tb.tip_parent[t_i]),
+                jnp.asarray(tb.tip_length[t_i]),
+                jnp.asarray(tb.edge_child[t_i]),
+                jnp.asarray(tb.edge_parent[t_i]),
+                jnp.asarray(tb.edge_length[t_i]),
+                jnp.asarray(tb.root_slot[t_i]), tb.n_slots))
+            got = _exec_schedule(sched, t_i, rows, eig, pi, rates)
+            fin = np.isfinite(want)
+            assert (np.isfinite(got) == fin).all()
+            np.testing.assert_allclose(got[fin], want[fin], rtol=1e-10,
+                                       atol=1e-10)
